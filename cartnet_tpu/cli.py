@@ -1,0 +1,144 @@
+"""CLI entry point: flags -> Config -> data/model/optimizer -> train/eval.
+
+Mirrors the reference argparse surface (/root/reference/main.py:121-227) with
+the same defaults, dispatching to train, inference, or montecarlo. Device
+placement is the mesh's job (``--dp/--ep``), not a hard-coded "cuda:0".
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+from typing import List, Tuple
+
+import numpy as np
+
+from cartnet_tpu.config import (Config, DataConfig, ModelConfig, OptimConfig,
+                                ParallelConfig)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("cartnet_tpu")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--name", type=str, default="CartNet")
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--batch_accumulation", type=int, default=16)
+    p.add_argument("--dataset", type=str, default="ADP",
+                   help="ADP, jarvis, megnet, synthetic")
+    p.add_argument("--dataset_path", type=str, default="./datasets")
+    p.add_argument("--inference", action="store_true")
+    p.add_argument("--montecarlo", action="store_true")
+    p.add_argument("--checkpoint_path", type=str, default=None)
+    p.add_argument("--inference_output", type=str, default="./inference.pkl")
+    p.add_argument("--figshare_target", type=str,
+                   default="formation_energy_peratom")
+    p.add_argument("--wandb_project", type=str, default="ADP")
+    p.add_argument("--wandb_entity", type=str, default="")
+    p.add_argument("--wandb", action="store_true", help="enable wandb logging")
+    p.add_argument("--loss", type=str, default="MAE")
+    p.add_argument("--epochs", type=int, default=50)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--warmup", type=float, default=0.01)
+    p.add_argument("--model", type=str, default="CartNet")
+    p.add_argument("--max_neighbours", type=int, default=25)
+    p.add_argument("--radius", type=float, default=5.0)
+    p.add_argument("--num_layers", type=int, default=4)
+    p.add_argument("--dim_in", type=int, default=256)
+    p.add_argument("--dim_rbf", type=int, default=64)
+    p.add_argument("--augment", action="store_true")
+    p.add_argument("--invariant", action="store_true")
+    p.add_argument("--disable_temp", action="store_false", dest="use_temp")
+    p.add_argument("--no_standarize_temp", action="store_false",
+                   dest="standarize_temp")
+    p.add_argument("--disable_envelope", action="store_false", dest="envelope")
+    p.add_argument("--disable_H", action="store_false", dest="use_H")
+    p.add_argument("--disable_atom_types", action="store_false",
+                   dest="use_atom_types")
+    p.add_argument("--dp", type=int, default=1, help="data-parallel mesh axis")
+    p.add_argument("--ep", type=int, default=1, help="edge-parallel mesh axis")
+    p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the run's checkpoint dir")
+    p.add_argument("--limit", type=int, default=None,
+                   help="truncate dataset (smoke runs)")
+    return p
+
+
+def args_to_config(args) -> Config:
+    import jax.numpy as jnp
+    model_name = args.model.lower()
+    if model_name == "cartnet":
+        model_name = "cartnet"
+    dataset = args.dataset
+    # reference semantics: main.py:176-187
+    max_neigh = -1 if model_name == "cartnet" else args.max_neighbours
+    augment = False if model_name in ("icomformer", "ecomformer") else args.augment
+    use_temp = False if dataset != "ADP" else args.use_temp
+    cholesky = dataset == "ADP"
+    model = ModelConfig(
+        name=model_name, dim_in=args.dim_in, dim_rbf=args.dim_rbf,
+        num_layers=args.num_layers, radius=args.radius,
+        invariant=args.invariant, use_temperature=use_temp,
+        use_envelope=args.envelope, use_atom_types=args.use_atom_types,
+        cholesky=cholesky,
+        compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+    data = DataConfig(
+        name=dataset, path=args.dataset_path, target=args.figshare_target,
+        radius=args.radius, max_neighbors=max_neigh, batch_size=args.batch,
+        augment=augment, use_hydrogens=args.use_H,
+        standarize_temp=args.standarize_temp,
+        optimize_cell=(model_name == "icomformer"))
+    optim = OptimConfig(
+        lr=args.lr, max_epoch=args.epochs, warmup=args.warmup,
+        batch_accumulation=args.batch_accumulation, loss=args.loss)
+    par = ParallelConfig(dp=args.dp, ep=args.ep)
+    run_dir = os.path.join("results", args.name, str(args.seed))
+    return Config(model=model, data=data, optim=optim, parallel=par,
+                  seed=args.seed, name=args.name, run_dir=run_dir)
+
+
+def load_datasets(cfg: Config, limit=None) -> Tuple[List[dict], List[dict], List[dict]]:
+    name = cfg.data.name
+    if name == "synthetic":
+        from cartnet_tpu.data.synthetic import synthetic_dataset
+        n = limit or 128
+        recs = synthetic_dataset(n + max(n // 4, 2) * 2, mean_atoms=32,
+                                 radius=cfg.data.radius, adp=cfg.model.cholesky,
+                                 seed=123)
+        k = max(n // 4, 2)
+        return recs[:n], recs[n:n + k], recs[n + k:n + 2 * k]
+    if name in ("jarvis", "megnet", "dft_3d_2021"):
+        from cartnet_tpu.data.jarvis import build_dataset
+        return build_dataset(name, cfg.data.target, cfg.data.path,
+                             cfg.data.radius, cfg.data.max_neighbors,
+                             limit=limit)
+    if name == "ADP":
+        from cartnet_tpu.data.adp import ADPDataset
+        csvdir = os.path.join(cfg.data.path, "csv")
+        root = os.path.join(cfg.data.path, "data")
+        sets = []
+        for split in ("train", "val", "test"):
+            ds = ADPDataset(root, os.path.join(csvdir, f"{split}_files.csv"),
+                            standarize_temp=cfg.data.standarize_temp,
+                            hydrogens=cfg.data.use_hydrogens,
+                            augment=(split == "train" and cfg.data.augment),
+                            optimize_cell=cfg.data.optimize_cell)
+            rng = np.random.default_rng(cfg.seed)
+            n = len(ds) if limit is None else min(limit, len(ds))
+            sets.append([ds.get(i, rng) for i in range(n)])
+        return tuple(sets)
+    raise ValueError(f"dataset '{name}' not implemented")
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(levelname)s %(message)s")
+    args = build_parser().parse_args(argv)
+    cfg = args_to_config(args)
+    from cartnet_tpu.runner import run
+    run(cfg, args)
+
+
+if __name__ == "__main__":
+    main()

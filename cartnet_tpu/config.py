@@ -1,0 +1,101 @@
+"""Immutable typed configuration for cartnet_tpu.
+
+The reference uses a global mutable yacs ``cfg`` singleton populated by argparse
+(``/root/reference/main.py:156-191``) and read at call time from every module.
+Here the configuration is an immutable dataclass passed explicitly; nothing in
+the compute path reads global state, so everything stays jit/pjit friendly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Model hyperparameters (reference defaults: /root/reference/main.py:140-152)."""
+
+    name: str = "cartnet"  # cartnet | ecomformer | icomformer
+    dim_in: int = 256
+    dim_rbf: int = 64
+    num_layers: int = 4
+    radius: float = 5.0
+    invariant: bool = False
+    use_temperature: bool = True
+    use_envelope: bool = True
+    use_atom_types: bool = True
+    cholesky: bool = True  # Cholesky ADP head vs scalar head
+    # numerics
+    param_dtype: jnp.dtype = jnp.float32
+    compute_dtype: jnp.dtype = jnp.float32  # set bfloat16 for TPU speed runs
+    bn_momentum: float = 0.1  # PyTorch BatchNorm1d default
+    bn_eps: float = 1e-5
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Dataset / batching configuration.
+
+    Reference: dataset flags in /root/reference/main.py:127-145; unlike the
+    reference's dynamic PyG batching, we pad to static shapes for XLA.
+    """
+
+    name: str = "jarvis"  # ADP | jarvis | megnet | synthetic
+    path: str = "./datasets"
+    target: str = "formation_energy_peratom"
+    radius: float = 5.0
+    max_neighbors: int = -1  # -1 = uncapped (CartNet); 25 for Comformers
+    batch_size: int = 64
+    augment: bool = False
+    use_hydrogens: bool = True
+    standarize_temp: bool = True
+    optimize_cell: bool = False  # lattice canonicalization (iComformer)
+    # static-shape padding policy: pad nodes/edges per batch to these sizes
+    max_nodes: int = 1024
+    max_edges: int = 16384
+    max_graphs: int = 64  # = batch_size (one pad graph slot is added on top)
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimConfig:
+    """Optimizer/schedule config (reference: main.py:136-139, train/train.py:59)."""
+
+    lr: float = 1e-3
+    max_epoch: int = 50
+    warmup: float = 0.01  # OneCycle pct_start
+    batch_accumulation: int = 1
+    loss: str = "MAE"  # MAE | MSE
+    # PyTorch OneCycleLR defaults mirrored
+    div_factor: float = 25.0
+    final_div_factor: float = 1e4
+    cycle_momentum: bool = True
+    base_momentum: float = 0.85
+    max_momentum: float = 0.95
+    grad_clip: Optional[float] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class ParallelConfig:
+    """Device-mesh layout: data-parallel x edge-parallel axes."""
+
+    dp: int = 1  # data parallel (shard the graph batch)
+    ep: int = 1  # edge/graph-partition parallel (shard edges, psum node aggregates)
+    axis_dp: str = "dp"
+    axis_ep: str = "ep"
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    optim: OptimConfig = dataclasses.field(default_factory=OptimConfig)
+    parallel: ParallelConfig = dataclasses.field(default_factory=ParallelConfig)
+    seed: int = 0
+    name: str = "CartNet"
+    run_dir: str = "results"
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,106 @@
+"""Static-shape batch collation: variable crystals -> padded CrystalBatch.
+
+The reference relies on PyG dynamic batching (ragged concat per step,
+/root/reference/loader/loader.py:114-124), which would force an XLA recompile
+per shape. Here every batch is padded to (max_nodes, max_edges, max_graphs)
+and edges are sorted by destination so segment reductions hit the sorted path.
+Pad rows carry mask=False and index 0.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from cartnet_tpu.data.schema import CrystalBatch
+
+
+class GraphRecord(dict):
+    """Host-side per-structure record.
+
+    Required keys: z [n] int, pos [n,3], cell [3,3], edge_src [e], edge_dst [e],
+    cart_dist [e], cart_dir [e,3], y (scalar or [n,3,3]).
+    Optional: temperature (float).
+    """
+
+
+def pad_sizes_for(records: Sequence[dict], multiple_nodes: int = 128,
+                  multiple_edges: int = 512):
+    """Round total node/edge counts up to hardware-friendly multiples."""
+    n = sum(len(r["z"]) for r in records)
+    e = sum(len(r["edge_src"]) for r in records)
+    rn = -(-max(n, 1) // multiple_nodes) * multiple_nodes
+    re = -(-max(e, 1) // multiple_edges) * multiple_edges
+    return rn, re
+
+
+def collate(records: Sequence[dict], max_nodes: int, max_edges: int,
+            max_graphs: int, adp: Optional[bool] = None) -> CrystalBatch:
+    """Concatenate structures into one padded, dst-sorted batch."""
+    g = len(records)
+    if g > max_graphs:
+        raise ValueError(f"{g} graphs > max_graphs={max_graphs}")
+    if adp is None:
+        adp = np.ndim(records[0]["y"]) == 3
+
+    z = np.zeros(max_nodes, np.int32)
+    pos = np.zeros((max_nodes, 3), np.float32)
+    graph_id = np.zeros(max_nodes, np.int32)
+    node_mask = np.zeros(max_nodes, bool)
+    non_h = np.zeros(max_nodes, bool)
+    cell = np.tile(np.eye(3, dtype=np.float32), (max_graphs, 1, 1))
+    temp = np.zeros(max_graphs, np.float32)
+    graph_mask = np.zeros(max_graphs, bool)
+    y = (np.zeros((max_nodes, 3, 3), np.float32) if adp
+         else np.zeros(max_graphs, np.float32))
+
+    srcs, dsts, dists, dirs = [], [], [], []
+    n_off = 0
+    for gi, r in enumerate(records):
+        n = len(r["z"])
+        if n_off + n > max_nodes:
+            raise ValueError(f"node overflow: {n_off + n} > {max_nodes}")
+        sl = slice(n_off, n_off + n)
+        z[sl] = r["z"]
+        pos[sl] = r["pos"]
+        graph_id[sl] = gi
+        node_mask[sl] = True
+        non_h[sl] = np.asarray(r["z"]) != 1
+        cell[gi] = r["cell"]
+        temp[gi] = float(r.get("temperature", 0.0))
+        graph_mask[gi] = True
+        if adp:
+            y[sl] = r["y"]
+        else:
+            y[gi] = float(r["y"])
+        srcs.append(np.asarray(r["edge_src"], np.int64) + n_off)
+        dsts.append(np.asarray(r["edge_dst"], np.int64) + n_off)
+        dists.append(r["cart_dist"])
+        dirs.append(r["cart_dir"])
+        n_off += n
+
+    src = np.concatenate(srcs) if srcs else np.zeros(0, np.int64)
+    dst = np.concatenate(dsts) if dsts else np.zeros(0, np.int64)
+    dist = np.concatenate(dists).astype(np.float32) if dists else np.zeros(0, np.float32)
+    dire = np.concatenate(dirs).astype(np.float32) if dirs else np.zeros((0, 3), np.float32)
+    e = len(src)
+    if e > max_edges:
+        raise ValueError(f"edge overflow: {e} > {max_edges}")
+
+    order = np.argsort(dst, kind="stable")  # deterministic reduction order
+    esrc = np.zeros(max_edges, np.int32)
+    edst = np.zeros(max_edges, np.int32)
+    edist = np.zeros(max_edges, np.float32)
+    edir = np.zeros((max_edges, 3), np.float32)
+    emask = np.zeros(max_edges, bool)
+    esrc[:e] = src[order]
+    edst[:e] = dst[order]
+    edist[:e] = dist[order]
+    edir[:e] = dire[order]
+    emask[:e] = True
+
+    return CrystalBatch(
+        z=z, pos=pos, graph_id=graph_id, node_mask=node_mask, non_h_mask=non_h,
+        edge_src=esrc, edge_dst=edst, cart_dir=edir, cart_dist=edist,
+        edge_mask=emask, cell=cell, temperature=temp, graph_mask=graph_mask, y=y)

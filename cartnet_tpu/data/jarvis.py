@@ -1,0 +1,152 @@
+"""Jarvis-DFT / Materials-Project (megnet) ingest with split parity.
+
+Replaces the jarvis-tools dependency of /root/reference/loader/loader.py:33-110
+and dataset/figshare_dataset.py with a plain HTTP figshare fetch + the exact
+same protocol:
+
+  * target filter: drop entries whose target is None/"na"/NaN (loader.py:90-96);
+  * 80/10/10 split via ``random.seed(123); random.shuffle(ids)`` — bitwise
+    identical to the reference/PotNet split because CPython's Mersenne
+    shuffle is deterministic (loader.py:130-141);
+  * graph build: radius_graph_pbc(radius=5.0, max_neighbors None for CartNet /
+    25 for Comformers), cart_dist = |vec|, cart_dir = normalize(vec)
+    (figshare_dataset.py:64-68).
+
+Downloads are cached under ``<path>/raw``; in zero-egress environments place
+the figshare JSON there manually (``<dataset>.json``).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import math
+import os
+import random
+import zipfile
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from cartnet_tpu.data.elements import SYMBOL_TO_Z
+from cartnet_tpu.data.radius_graph import radius_graph_pbc
+
+# figshare file ids used by jarvis-tools (jarvis.db.figshare.get_db_info)
+FIGSHARE_URLS = {
+    "dft_3d_2021": "https://ndownloader.figshare.com/files/28794820",
+    "megnet": "https://ndownloader.figshare.com/files/26724977",
+}
+
+
+def _download(name: str, raw_dir: str) -> str:
+    os.makedirs(raw_dir, exist_ok=True)
+    json_path = os.path.join(raw_dir, f"{name}.json")
+    if os.path.exists(json_path):
+        return json_path
+    url = FIGSHARE_URLS.get(name)
+    if url is None:
+        raise ValueError(f"unknown figshare dataset '{name}'")
+    zip_path = os.path.join(raw_dir, f"{name}.zip")
+    logging.info("downloading %s from %s", name, url)
+    import urllib.request
+    urllib.request.urlretrieve(url, zip_path)  # raises in zero-egress envs
+    with zipfile.ZipFile(zip_path) as zf:
+        member = zf.namelist()[0]
+        with zf.open(member) as f, open(json_path, "wb") as out:
+            out.write(f.read())
+    return json_path
+
+
+def load_raw(name: str, path: str) -> List[dict]:
+    """Load (download if needed) the raw figshare JSON list of dicts."""
+    if name == "jarvis":
+        name = "dft_3d_2021"  # reference rename, loader.py:40-41
+    json_path = _download(name, os.path.join(path, "raw"))
+    with open(json_path) as f:
+        return json.load(f)
+
+
+def filter_by_target(data: Sequence[dict], target: str):
+    """Keep entries with a usable target (loader.py:84-96)."""
+    dat, targets = [], []
+    for item in data:
+        v = item.get(target)
+        if isinstance(v, list):
+            targets.append(np.asarray(v, np.float32))
+            dat.append(item)
+        elif v is not None and v != "na" and not (
+                isinstance(v, float) and math.isnan(v)):
+            dat.append(item)
+            targets.append(float(v))
+    return dat, targets
+
+
+def split_123(n: int, val_ratio: float = 0.1, test_ratio: float = 0.1,
+              seed: int = 123) -> Tuple[List[int], List[int], List[int]]:
+    """The PotNet comparative-table split (loader.py:130-141), exactly."""
+    ids = list(np.arange(n))
+    n_val = int(n * val_ratio)
+    n_test = int(n * test_ratio)
+    n_train = n - n_val - n_test
+    random.seed(seed)
+    random.shuffle(ids)
+    return (ids[:n_train], ids[-(n_val + n_test):-n_test], ids[-n_test:])
+
+
+def atoms_to_record(atoms: dict, target, radius: float = 5.0,
+                    max_neighbors: Optional[int] = None) -> dict:
+    """jarvis Atoms dict -> GraphRecord (figshare_dataset.py:50-73)."""
+    lattice = np.asarray(atoms["lattice_mat"], np.float64)
+    coords = np.asarray(atoms["coords"], np.float64)
+    if not atoms.get("cartesian", True):
+        coords = coords @ lattice
+    z = np.asarray([SYMBOL_TO_Z[s] for s in atoms["elements"]], np.int32)
+    src, dst, dist, cart_dir = radius_graph_pbc(coords, lattice, radius,
+                                                max_neighbors)
+    return {"z": z, "pos": coords.astype(np.float32),
+            "cell": lattice.astype(np.float32),
+            "edge_src": src, "edge_dst": dst,
+            "cart_dist": dist, "cart_dir": cart_dir,
+            "y": target}
+
+
+def build_dataset(name: str, target: str, path: str, radius: float = 5.0,
+                  max_neighbors: Optional[int] = None, limit: Optional[int] = None):
+    """Full pipeline -> (train, val, test) lists of GraphRecords, cached."""
+    mn = max_neighbors if (max_neighbors or 0) > 0 else None
+    cache = os.path.join(
+        path, f"{name}_{radius}_{mn or -1}_{target}_123.npz_dir")
+    if os.path.isdir(cache):
+        return tuple(_load_split(os.path.join(cache, s))
+                     for s in ("train", "val", "test"))
+    data = load_raw(name, path)
+    dat, targets = filter_by_target(data, target)
+    tr, va, te = split_123(len(dat))
+    if limit:
+        tr, va, te = tr[:limit], va[:max(limit // 8, 1)], te[:max(limit // 8, 1)]
+    splits = []
+    for ids in (tr, va, te):
+        recs = [atoms_to_record(dat[i]["atoms"], targets[i], radius, mn)
+                for i in ids]
+        splits.append(recs)
+    for sname, recs in zip(("train", "val", "test"), splits):
+        _save_split(os.path.join(cache, sname), recs)
+    return tuple(splits)
+
+
+def _save_split(dirname: str, recs: List[dict]):
+    os.makedirs(dirname, exist_ok=True)
+    flat = {}
+    for i, r in enumerate(recs):
+        for k, v in r.items():
+            flat[f"{i}_{k}"] = v
+    np.savez_compressed(os.path.join(dirname, "data.npz"),
+                        __count=len(recs), **flat)
+
+
+def _load_split(dirname: str) -> List[dict]:
+    with np.load(os.path.join(dirname, "data.npz")) as z:
+        n = int(z["__count"])
+        return [{k: z[f"{i}_{k}"] for k in
+                 ("z", "pos", "cell", "edge_src", "edge_dst",
+                  "cart_dist", "cart_dir", "y")} for i in range(n)]

@@ -1,0 +1,77 @@
+"""Batch pipeline: shuffle, augment, collate to static shapes.
+
+Equivalent of the reference's PyG DataLoaders (/root/reference/loader/
+loader.py:114-124: train shuffled, val/test not; per-item transforms in CPU
+workers) — but emitting static padded CrystalBatches sized once for the whole
+dataset (one XLA compilation, no recompile storms; pad waste is reported).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from cartnet_tpu.data.adp import augment_record
+from cartnet_tpu.data.batching import collate
+from cartnet_tpu.data.schema import CrystalBatch
+
+
+def choose_pad_sizes(records: Sequence[dict], batch_size: int,
+                     node_multiple: int = 128, edge_multiple: int = 512,
+                     safety: float = 1.0):
+    """Static (max_nodes, max_edges) covering the worst batch of this dataset.
+
+    Uses the max over a sliding sum of the ``batch_size`` largest graphs —
+    conservative upper bound, rounded to hardware-friendly multiples.
+    """
+    nodes = np.sort([len(r["z"]) for r in records])[::-1]
+    edges = np.sort([len(r["edge_src"]) for r in records])[::-1]
+    worst_n = int(nodes[:batch_size].sum() * safety)
+    worst_e = int(edges[:batch_size].sum() * safety)
+    max_nodes = -(-max(worst_n, 1) // node_multiple) * node_multiple
+    max_edges = -(-max(worst_e, 1) // edge_multiple) * edge_multiple
+    avg_n = nodes.mean() * batch_size
+    avg_e = edges.mean() * batch_size
+    logging.info("pad sizes: nodes %d (avg fill %.0f%%), edges %d (avg fill %.0f%%)",
+                 max_nodes, 100 * avg_n / max_nodes,
+                 max_edges, 100 * avg_e / max_edges)
+    return max_nodes, max_edges
+
+
+class BatchPipeline:
+    """Iterates padded batches over a list of GraphRecords."""
+
+    def __init__(self, records: List[dict], batch_size: int,
+                 max_nodes: Optional[int] = None, max_edges: Optional[int] = None,
+                 shuffle: bool = False, augment: bool = False,
+                 rotate_targets: bool = True, seed: int = 0,
+                 drop_last: bool = False):
+        self.records = records
+        self.batch_size = batch_size
+        if max_nodes is None or max_edges is None:
+            max_nodes, max_edges = choose_pad_sizes(records, batch_size)
+        self.max_nodes, self.max_edges = max_nodes, max_edges
+        self.shuffle = shuffle
+        self.augment = augment
+        self.rotate_targets = rotate_targets
+        self.drop_last = drop_last
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        n = len(self.records)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[CrystalBatch]:
+        order = np.arange(len(self.records))
+        if self.shuffle:
+            self._rng.shuffle(order)
+        bs = self.batch_size
+        stop = (len(order) // bs) * bs if self.drop_last else len(order)
+        for i in range(0, stop, bs):
+            recs = [self.records[j] for j in order[i:i + bs]]
+            if self.augment:
+                recs = [augment_record(r, self._rng, self.rotate_targets)
+                        for r in recs]
+            yield collate(recs, self.max_nodes, self.max_edges, bs)

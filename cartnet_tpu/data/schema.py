@@ -1,0 +1,64 @@
+"""Canonical crystal-graph batch schema (static shapes, padded).
+
+The reference splits edge geometry across inconsistent fields
+(``edge_attr`` vs ``cart_dir``/``cart_dist`` — see SURVEY.md §2.1 note on
+/root/reference/dataset/extract_csd_data.py:139 vs datasetADP.py:70-71).
+Here there is ONE canonical schema, shaped for XLA: every array is padded to a
+static size and carries an explicit mask. Edges are stored sorted by
+destination node so segment reductions can use the sorted fast path.
+
+Conventions (matching the reference's PyG flow):
+  * ``edge_index = (src, dst)`` where messages flow src -> dst and aggregation
+    scatters onto dst (reference edge_index=(index2, index1),
+    /root/reference/dataset/utils.py:235 + PyG source_to_target flow).
+  * ``cart_dir`` is the unit vector from dst atom to the (PBC-imaged) src atom
+    position: normalize(pos[dst] - (pos[src] + offset)), matching
+    /root/reference/dataset/utils.py:196 (direction = pos1 - pos2 with
+    pos1=index1=dst side) combined with figshare_dataset.py:68.
+  * pad nodes/edges/graphs have mask=False; pad indices point at slot 0.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.struct
+import jax.numpy as jnp
+
+
+@flax.struct.dataclass
+class CrystalBatch:
+    # nodes [N]
+    z: jnp.ndarray            # [N] int32 atomic numbers (0 on pads)
+    pos: jnp.ndarray          # [N, 3] f32 cartesian coords
+    graph_id: jnp.ndarray     # [N] int32 graph slot of each node (0 on pads)
+    node_mask: jnp.ndarray    # [N] bool
+    non_h_mask: jnp.ndarray   # [N] bool (False on pads and H atoms)
+    # edges [E] — sorted by dst
+    edge_src: jnp.ndarray     # [E] int32
+    edge_dst: jnp.ndarray     # [E] int32
+    cart_dir: jnp.ndarray     # [E, 3] f32 unit direction
+    cart_dist: jnp.ndarray    # [E] f32 distance
+    edge_mask: jnp.ndarray    # [E] bool
+    # graphs [G]
+    cell: jnp.ndarray         # [G, 3, 3] f32 lattice rows
+    temperature: jnp.ndarray  # [G] f32 (standardized; zeros when unused)
+    graph_mask: jnp.ndarray   # [G] bool
+    # targets: scalar [G] or per-node ADP [N, 3, 3]
+    y: jnp.ndarray
+
+    @property
+    def num_nodes(self) -> int:
+        return self.z.shape[0]
+
+    @property
+    def num_edges(self) -> int:
+        return self.edge_src.shape[0]
+
+    @property
+    def num_graphs(self) -> int:
+        return self.temperature.shape[0]
+
+    @property
+    def adp_targets(self) -> bool:
+        return self.y.ndim == 3

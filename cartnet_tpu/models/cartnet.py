@@ -1,0 +1,230 @@
+"""CartNet: Cartesian-frame message-passing GNN, TPU-native.
+
+Behavioral parity with /root/reference/models/cartnet.py (Encoder :75-161,
+CartNet_layer :163-274, Cholesky_head :276-305, Scalar_head :307-327) with a
+TPU-first compute layout:
+
+  * Static padded shapes; masked BatchNorm over real edges/nodes only.
+  * The per-edge gate/aggregate MLPs' FIRST layer acts on [x_dst ‖ x_src ‖ e].
+    We split its weight row-blocks: x@W_i and x@W_j are computed ONCE per node
+    ([N,d] MXU matmuls) and gathered per edge, instead of materializing
+    [E, 3d] and doing an [E,3d]x[3d,d] matmul. Identical math
+    (concat-matmul ≡ sum of block matmuls), ~3x fewer edge-level FLOPs and
+    far less HBM traffic at avg degree ~30.
+  * Aggregation is a deterministic sorted segment-sum (edges pre-sorted by
+    destination at collation).
+
+All functions are pure; BN running stats are threaded explicitly.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from cartnet_tpu.config import ModelConfig
+from cartnet_tpu.data.schema import CrystalBatch
+from cartnet_tpu.nn import core as nn
+from cartnet_tpu.nn.norm import batch_norm_init, masked_batch_norm
+from cartnet_tpu.ops import rbf as rbf_ops
+from cartnet_tpu.ops import segment
+from cartnet_tpu.ops.linalg3 import assemble_cholesky_upper
+
+
+# ---------------------------------------------------------------- encoder
+
+def encoder_init(key, cfg: ModelConfig):
+    d, dtype = cfg.dim_in, cfg.param_dtype
+    keys = jax.random.split(key, 4)
+    p = {}
+    if cfg.use_atom_types:
+        p["embedding"] = nn.embedding_init(keys[0], 119, 2 * d, dtype, "xavier")
+    elif not cfg.use_temperature:
+        # reference fallback: a single learned row broadcast to all atoms
+        # (/root/reference/models/cartnet.py:116,151) — torch default N(0,1) init
+        p["embedding"] = nn.embedding_init(keys[0], 1, d, dtype, "normal")
+    if cfg.use_temperature:
+        p["temp_proj"] = nn.torch_linear_init(keys[1], 1, 2 * d, True, dtype)
+    elif cfg.use_atom_types:
+        p["bias"] = jnp.zeros((2 * d,), dtype)
+    if cfg.use_temperature or cfg.use_atom_types:
+        p["atom_mlp"] = nn.torch_linear_init(keys[2], 2 * d, d, True, dtype)
+    dim_edge = cfg.dim_rbf + (0 if cfg.invariant else 3)
+    p["edge_mlp"] = nn.mlp_init(keys[3], [dim_edge, 2 * d, d], True, dtype)
+    means, betas = rbf_ops.exp_normal_params(0.0, cfg.radius, cfg.dim_rbf, dtype)
+    p["rbf_means"], p["rbf_betas"] = means, betas
+    return p
+
+
+def encoder_apply(p, batch: CrystalBatch, cfg: ModelConfig):
+    """Returns (x [N,d], e [E,d])."""
+    dt = cfg.compute_dtype
+    if cfg.use_temperature and cfg.use_atom_types:
+        t = nn.linear(p["temp_proj"], batch.temperature[:, None].astype(dt))
+        x = nn.embedding(p["embedding"], batch.z).astype(dt) + t[batch.graph_id]
+    elif cfg.use_atom_types:
+        x = nn.embedding(p["embedding"], batch.z).astype(dt) + p["bias"]
+    elif cfg.use_temperature:
+        t = nn.linear(p["temp_proj"], batch.temperature[:, None].astype(dt))
+        x = t[batch.graph_id]
+    else:
+        x = jnp.broadcast_to(p["embedding"]["w"][0].astype(dt),
+                             (batch.num_nodes, cfg.dim_in))
+    if cfg.use_temperature or cfg.use_atom_types:
+        # Sequential(SiLU, Linear, SiLU): activation applied BEFORE the linear
+        # (/root/reference/models/cartnet.py:125-127)
+        x = jax.nn.silu(nn.linear(p["atom_mlp"], jax.nn.silu(x)))
+
+    feats = rbf_ops.exp_normal_smearing(batch.cart_dist.astype(dt),
+                                        p["rbf_means"].astype(dt),
+                                        p["rbf_betas"].astype(dt), cfg.radius)
+    if not cfg.invariant:
+        feats = jnp.concatenate([feats, batch.cart_dir.astype(dt)], axis=-1)
+    e = nn.mlp_silu(p["edge_mlp"], feats, 2, final_act=True)
+    return x, e
+
+
+# ---------------------------------------------------------------- layer
+
+def layer_init(key, cfg: ModelConfig):
+    d, dtype = cfg.dim_in, cfg.param_dtype
+    k1, k2 = jax.random.split(key)
+    p = {"mlp_gate": nn.mlp_init(k1, [3 * d, d, d], True, dtype),
+         "mlp_aggr": nn.mlp_init(k2, [3 * d, d, d], True, dtype)}
+    bn_p, bn_s = batch_norm_init(d, dtype)
+    bn2_p, bn2_s = batch_norm_init(d, dtype)
+    p["bn"], p["bn2"] = bn_p, bn2_p
+    return p, {"bn": bn_s, "bn2": bn2_s}
+
+
+def _edge_mlp_split(mlp, x, src, dst, e):
+    """First layer of MLP([x_dst ‖ x_src ‖ e]) via node-level block matmuls.
+
+    lin0.w is [3d, d] with row blocks (W_i | W_j | W_e) matching the
+    reference concat order [x_i, x_j, e] (models/cartnet.py:237,256) where
+    x_i = x[dst] (PyG target), x_j = x[src].
+    """
+    d = x.shape[-1]
+    w, b = mlp["lin0"]["w"], mlp["lin0"]["b"]
+    xi = jnp.dot(x, w[:d], preferred_element_type=x.dtype)
+    xj = jnp.dot(x, w[d:2 * d], preferred_element_type=x.dtype)
+    pre = xi[dst] + xj[src] + jnp.dot(e, w[2 * d:],
+                                      preferred_element_type=x.dtype) + b
+    return nn.linear(mlp["lin1"], jax.nn.silu(pre))
+
+
+def layer_apply(p, state, x, e, batch: CrystalBatch, cfg: ModelConfig,
+                training: bool, ep_axis: Optional[str] = None,
+                edge_stat_axes=(), node_stat_axes=()):
+    """One message-passing layer.
+
+    Inside shard_map with edges partitioned over ``ep_axis`` (nodes
+    replicated), the local segment-sum produces partial node aggregates which
+    are psum'd over the edge axis — the GNN analogue of tensor-parallel
+    all-reduce. BN batch moments reduce over the given stat axes (sync BN) so
+    sharded training matches the single-device statistics exactly.
+    """
+    src, dst = batch.edge_src, batch.edge_dst
+    x_in, e_in = x, e
+
+    gate = _edge_mlp_split(p["mlp_gate"], x, src, dst, e)
+    gate, bn_s = masked_batch_norm(p["bn"], state["bn"], gate, batch.edge_mask,
+                                   training=training, momentum=cfg.bn_momentum,
+                                   eps=cfg.bn_eps, axis_names=edge_stat_axes)
+    sigma = jax.nn.sigmoid(gate)
+    if cfg.use_envelope:
+        env = rbf_ops.cosine_cutoff(batch.cart_dist.astype(x.dtype), cfg.radius)
+        sigma = env[:, None] * sigma
+
+    sender = _edge_mlp_split(p["mlp_aggr"], x, src, dst, e)
+    aggr = segment.masked_segment_sum(sigma * sender, dst, batch.edge_mask,
+                                      batch.num_nodes, sorted_ids=True)
+    if ep_axis is not None:
+        aggr = jax.lax.psum(aggr, ep_axis)
+    aggr, bn2_s = masked_batch_norm(p["bn2"], state["bn2"], aggr,
+                                    batch.node_mask, training=training,
+                                    momentum=cfg.bn_momentum, eps=cfg.bn_eps,
+                                    axis_names=node_stat_axes)
+    x_out = jax.nn.silu(aggr) + x_in
+    e_out = e_in + sigma
+    return x_out, e_out, {"bn": bn_s, "bn2": bn2_s}
+
+
+# ---------------------------------------------------------------- heads
+
+def cholesky_head_init(key, cfg: ModelConfig):
+    d = cfg.dim_in
+    return {"mlp": nn.mlp_init(key, [d, d // 2, 6], True, cfg.param_dtype)}
+
+
+def cholesky_head_apply(p, x):
+    """[N, d] -> SPD U [N, 3, 3] (reference models/cartnet.py:293-303)."""
+    out = nn.mlp_silu(p["mlp"], x, 2)
+    diag = jax.nn.softplus(out[:, :3])
+    return assemble_cholesky_upper(diag, out[:, 3:])
+
+
+def scalar_head_init(key, cfg: ModelConfig):
+    d = cfg.dim_in
+    return {"mlp": nn.mlp_init(key, [d, d // 2, 1], True, cfg.param_dtype)}
+
+
+def scalar_head_apply(p, x, batch: CrystalBatch):
+    """[N, d] -> per-graph scalar [G] via masked scatter-mean."""
+    out = nn.mlp_silu(p["mlp"], x, 2)
+    per_graph = segment.masked_segment_mean(out, batch.graph_id, batch.node_mask,
+                                            batch.num_graphs)
+    return per_graph[:, 0]
+
+
+# ---------------------------------------------------------------- model
+
+def cartnet_init(key, cfg: ModelConfig):
+    keys = jax.random.split(key, cfg.num_layers + 2)
+    params = {"encoder": encoder_init(keys[0], cfg)}
+    state = {}
+    for i in range(cfg.num_layers):
+        lp, ls = layer_init(keys[1 + i], cfg)
+        params[f"layer{i}"] = lp
+        state[f"layer{i}"] = ls
+    head_key = keys[-1]
+    if cfg.cholesky:
+        params["head"] = cholesky_head_init(head_key, cfg)
+    else:
+        params["head"] = scalar_head_init(head_key, cfg)
+    return params, state
+
+
+def cartnet_apply(params, state, batch: CrystalBatch, cfg: ModelConfig,
+                  training: bool = False, ep_axis: Optional[str] = None,
+                  edge_stat_axes=(), node_stat_axes=()):
+    """Forward pass.
+
+    Args (parallel, only inside shard_map):
+        ep_axis: mesh axis over which this shard's edge list is a partition;
+            node aggregates are psum'd over it.
+        edge_stat_axes / node_stat_axes: sync-BN reduction axes for edge-level
+            and node-level batch statistics.
+
+    Returns:
+        pred: [N,3,3] (cholesky) or [G] (scalar) — padded rows are garbage,
+              consume together with ``pred_mask``.
+        pred_mask: [N] non-H real-node mask, or [G] graph mask.
+        new_state: updated BN running stats (== state when training=False).
+    """
+    x, e = encoder_apply(params["encoder"], batch, cfg)
+    new_state = {}
+    for i in range(cfg.num_layers):
+        x, e, ls = layer_apply(params[f"layer{i}"], state[f"layer{i}"], x, e,
+                               batch, cfg, training, ep_axis,
+                               edge_stat_axes, node_stat_axes)
+        new_state[f"layer{i}"] = ls
+    if cfg.cholesky:
+        pred = cholesky_head_apply(params["head"], x)
+        mask = batch.non_h_mask
+    else:
+        pred = scalar_head_apply(params["head"], x, batch)
+        mask = batch.graph_mask
+    return pred, mask, new_state

@@ -1,0 +1,275 @@
+"""eComformer / iComformer: gated graph-attention crystal transformers.
+
+TPU-native re-design of /root/reference/models/comformer.py and
+comformer_conv.py (originally from the ComFormer paper, divelab/AIRS):
+
+  * ComformerConv (:21-99): single-head gated attention. NB the reference's
+    alpha is sigmoid(BN(q*k/sqrt(C))) — *gated*, NOT softmax-normalized — so
+    no segment-softmax is needed; aggregation stays a masked segment-sum.
+  * ComformerConv_edge (:102-193): edge-feature update attending over the 3
+    lattice-vector channels. (The reference's ``lemb``/``lin_edge_len``
+    params are dead code — never touched in forward — and are omitted here.)
+  * eComformer (:28-70): 3 conv layers + equivariant TP block after layer 0.
+  * iComformer (:75-132): lattice-aware invariant edge features
+    (per-edge RBF of -0.75/||cell rows|| and cell-row/direction cosines),
+    4 conv layers + 1 edge-update layer.
+
+Same TPU layout as CartNet: static padded shapes, masked BN, first-layer
+concat-MLPs split into node-level block matmuls, dst-sorted segment-sum.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from cartnet_tpu.config import ModelConfig
+from cartnet_tpu.data.schema import CrystalBatch
+from cartnet_tpu.models.cartnet import cholesky_head_apply, cholesky_head_init, \
+    scalar_head_apply, scalar_head_init
+from cartnet_tpu.models.equivariant import equi_block_apply, equi_block_init
+from cartnet_tpu.nn import core as nn
+from cartnet_tpu.nn.norm import batch_norm_init, masked_batch_norm
+from cartnet_tpu.ops import rbf as rbf_ops
+from cartnet_tpu.ops import segment
+
+
+# ------------------------------------------------------------ ComformerConv
+
+def conv_init(key, d: int, dtype):
+    keys = jax.random.split(key, 8)
+    p = {"lin_key": nn.torch_linear_init(keys[0], d, d, True, dtype),
+         "lin_query": nn.torch_linear_init(keys[1], d, d, True, dtype),
+         "lin_value": nn.torch_linear_init(keys[2], d, d, True, dtype),
+         "lin_edge": nn.torch_linear_init(keys[3], d, d, True, dtype),
+         "lin_concate": nn.torch_linear_init(keys[4], d, d, True, dtype),
+         "key_update": nn.mlp_init(keys[5], [3 * d, d, d], True, dtype),
+         "msg_update": nn.mlp_init(keys[6], [3 * d, d, d], True, dtype)}
+    bn_p, bn_s = batch_norm_init(d, dtype)
+    bn_att_p, bn_att_s = batch_norm_init(d, dtype)
+    p["bn"], p["bn_att"] = bn_p, bn_att_p
+    return p, {"bn": bn_s, "bn_att": bn_att_s}
+
+
+def _split3(mlp, a_node_i, a_node_j, edge_term, src, dst):
+    """First layer of MLP([a_i ‖ a_j ‖ e]) via node-level block matmuls."""
+    d = a_node_i.shape[-1]
+    w, b = mlp["lin0"]["w"], mlp["lin0"]["b"]
+    ai = jnp.dot(a_node_i, w[:d], preferred_element_type=a_node_i.dtype)
+    aj = jnp.dot(a_node_j, w[d:2 * d], preferred_element_type=a_node_i.dtype)
+    pre = ai[dst] + aj[src] + edge_term @ w[2 * d:] + b
+    return nn.linear(mlp["lin1"], jax.nn.silu(pre))
+
+
+def conv_apply(p, state, x, edge_attr, batch: CrystalBatch, cfg: ModelConfig,
+               training: bool, ep_axis: Optional[str] = None,
+               edge_stat_axes=(), node_stat_axes=()):
+    """Gated single-head attention conv (comformer_conv.py:71-99)."""
+    src, dst = batch.edge_src, batch.edge_dst
+    q = nn.linear(p["lin_query"], x)
+    k = nn.linear(p["lin_key"], x)
+    v = nn.linear(p["lin_value"], x)
+    e = nn.linear(p["lin_edge"], edge_attr)
+
+    key_j = _split3(p["key_update"], k, k, e, src, dst)
+    alpha = q[dst] * key_j / math.sqrt(x.shape[-1])
+    alpha, bn_att_s = masked_batch_norm(p["bn_att"], state["bn_att"], alpha,
+                                        batch.edge_mask, training=training,
+                                        momentum=cfg.bn_momentum, eps=cfg.bn_eps,
+                                        axis_names=edge_stat_axes)
+    msg = _split3(p["msg_update"], v, v, e, src, dst)
+    msg = msg * jax.nn.sigmoid(alpha)
+    out = segment.masked_segment_sum(msg, dst, batch.edge_mask,
+                                     batch.num_nodes, sorted_ids=True)
+    if ep_axis is not None:
+        out = jax.lax.psum(out, ep_axis)
+    out = nn.linear(p["lin_concate"], out)
+    out, bn_s = masked_batch_norm(p["bn"], state["bn"], out, batch.node_mask,
+                                  training=training, momentum=cfg.bn_momentum,
+                                  eps=cfg.bn_eps, axis_names=node_stat_axes)
+    return jax.nn.softplus(x + out), {"bn": bn_s, "bn_att": bn_att_s}
+
+
+# ------------------------------------------------------- ComformerConv_edge
+
+def conv_edge_init(key, d: int, dtype):
+    keys = jax.random.split(key, 12)
+    p = {"lin_key": nn.torch_linear_init(keys[0], d, d, True, dtype),
+         "lin_query": nn.torch_linear_init(keys[1], d, d, True, dtype),
+         "lin_value": nn.torch_linear_init(keys[2], d, d, True, dtype),
+         "lin_edge": nn.torch_linear_init(keys[3], d, d, False, dtype),
+         "lin_concate": nn.torch_linear_init(keys[4], d, d, True, dtype),
+         "key_update": nn.mlp_init(keys[5], [3 * d, d, d], True, dtype),
+         "msg_update": nn.mlp_init(keys[6], [3 * d, d, d], True, dtype)}
+    for i, name in enumerate(["key_e1", "key_e2", "key_e3",
+                              "value_e1", "value_e2", "value_e3"]):
+        p[name] = nn.torch_linear_init(keys[7 + i // 2], d, d, True, dtype)
+    bn_p, bn_s = batch_norm_init(d, dtype)
+    bn_att_p, bn_att_s = batch_norm_init(d, dtype)
+    p["bn"], p["bn_att"] = bn_p, bn_att_p
+    return p, {"bn": bn_s, "bn_att": bn_att_s}
+
+
+def conv_edge_apply(p, state, edge_attr, edge_nei_len, edge_nei_angle,
+                    edge_mask, cfg: ModelConfig, training: bool,
+                    edge_stat_axes=()):
+    """Edge update over the 3 lattice channels (comformer_conv.py:156-193).
+
+    edge_attr [E, d]; edge_nei_len / edge_nei_angle [E, 3, d].
+    """
+    d = edge_attr.shape[-1]
+    q = nn.linear(p["lin_query"], edge_attr)[:, None, :]        # [E,1,d]
+    kx = nn.linear(p["lin_key"], edge_attr)[:, None, :]
+    vx = nn.linear(p["lin_value"], edge_attr)[:, None, :]
+    ky = jnp.stack([nn.linear(p[f"key_e{i + 1}"], edge_nei_len[:, i])
+                    for i in range(3)], axis=1)                  # [E,3,d]
+    vy = jnp.stack([nn.linear(p[f"value_e{i + 1}"], edge_nei_len[:, i])
+                    for i in range(3)], axis=1)
+    exy = nn.linear(p["lin_edge"], edge_nei_angle)               # [E,3,d]
+
+    key = nn.mlp_silu(p["key_update"],
+                      jnp.concatenate([jnp.broadcast_to(kx, ky.shape), ky, exy],
+                                      axis=-1), 2)
+    alpha = (q * key) / math.sqrt(d)                             # [E,3,d]
+    mask3 = jnp.repeat(edge_mask, 3)
+    alpha_flat, bn_att_s = masked_batch_norm(
+        p["bn_att"], state["bn_att"], alpha.reshape(-1, d), mask3,
+        training=training, momentum=cfg.bn_momentum, eps=cfg.bn_eps,
+        axis_names=edge_stat_axes)
+    msg = nn.mlp_silu(p["msg_update"],
+                      jnp.concatenate([jnp.broadcast_to(vx, vy.shape), vy, exy],
+                                      axis=-1), 2)
+    out = msg * jax.nn.sigmoid(alpha_flat.reshape(alpha.shape))
+    out = nn.linear(p["lin_concate"], out).sum(axis=1)           # [E,d]
+    out, bn_s = masked_batch_norm(p["bn"], state["bn"], out, edge_mask,
+                                  training=training, momentum=cfg.bn_momentum,
+                                  eps=cfg.bn_eps, axis_names=edge_stat_axes)
+    return jax.nn.softplus(edge_attr + out), {"bn": bn_s, "bn_att": bn_att_s}
+
+
+# ----------------------------------------------------------------- models
+
+def _rbf_head_init(key, d: int, dtype):
+    """RBFExpansion(bins=d) -> Linear -> softplus stack (comformer.py:37-45)."""
+    return {"lin": nn.torch_linear_init(key, d, d, True, dtype)}
+
+
+def _rbf_head_apply(p, x, centers, gamma):
+    return jax.nn.softplus(nn.linear(p["lin"], rbf_ops.rbf_expansion(x, centers, gamma)))
+
+
+def ecomformer_init(key, cfg: ModelConfig):
+    d, dtype = cfg.dim_in, cfg.param_dtype
+    keys = jax.random.split(key, 8)
+    p = {"embedding": nn.embedding_init(keys[0], 119, d, dtype, "normal"),
+         "temp_proj": nn.torch_linear_init(keys[1], 1, d, True, dtype),
+         "rbf": _rbf_head_init(keys[2], d, dtype)}
+    state = {}
+    for i in range(3):
+        cp, cs = conv_init(keys[3 + i], d, dtype)
+        p[f"conv{i}"], state[f"conv{i}"] = cp, cs
+    ep, es = equi_block_init(keys[6], cfg, edge_dim=d)
+    p["equi"], state["equi"] = ep, es
+    p["head"] = (cholesky_head_init(keys[7], cfg) if cfg.cholesky
+                 else scalar_head_init(keys[7], cfg))
+    centers, gamma = rbf_ops.rbf_expansion_params(-4.0, 0.0, d, dtype)
+    p["rbf_centers"], p["rbf_gamma"] = centers, jnp.asarray(gamma, dtype)
+    return p, state
+
+
+def ecomformer_apply(params, state, batch: CrystalBatch, cfg: ModelConfig,
+                     training: bool = False, ep_axis: Optional[str] = None,
+                     edge_stat_axes=(), node_stat_axes=()):
+    dt = cfg.compute_dtype
+    t = nn.linear(params["temp_proj"], batch.temperature[:, None].astype(dt))
+    x = nn.embedding(params["embedding"], batch.z).astype(dt) + t[batch.graph_id]
+    efeat = -0.75 / jnp.maximum(batch.cart_dist.astype(dt), 1e-6)
+    e = _rbf_head_apply(params["rbf"], efeat, params["rbf_centers"],
+                        params["rbf_gamma"])
+    new_state = {}
+    kw = dict(training=training, ep_axis=ep_axis,
+              edge_stat_axes=edge_stat_axes, node_stat_axes=node_stat_axes)
+    x, new_state["conv0"] = conv_apply(params["conv0"], state["conv0"], x, e,
+                                       batch, cfg, **kw)
+    x, new_state["equi"] = equi_block_apply(params["equi"], state["equi"], x, e,
+                                            batch, cfg, training, ep_axis,
+                                            node_stat_axes)
+    x, new_state["conv1"] = conv_apply(params["conv1"], state["conv1"], x, e,
+                                       batch, cfg, **kw)
+    x, new_state["conv2"] = conv_apply(params["conv2"], state["conv2"], x, e,
+                                       batch, cfg, **kw)
+    if cfg.cholesky:
+        pred, mask = cholesky_head_apply(params["head"], x), batch.non_h_mask
+    else:
+        pred, mask = scalar_head_apply(params["head"], x, batch), batch.graph_mask
+    return pred, mask, new_state
+
+
+def icomformer_init(key, cfg: ModelConfig):
+    d, dtype = cfg.dim_in, cfg.param_dtype
+    keys = jax.random.split(key, 10)
+    p = {"embedding": nn.embedding_init(keys[0], 119, d, dtype, "normal"),
+         "temp_proj": nn.torch_linear_init(keys[1], 1, d, True, dtype),
+         "rbf": _rbf_head_init(keys[2], d, dtype),
+         "rbf_angle": _rbf_head_init(keys[3], d, dtype)}
+    state = {}
+    for i in range(4):
+        cp, cs = conv_init(keys[4 + i], d, dtype)
+        p[f"conv{i}"], state[f"conv{i}"] = cp, cs
+    ep_, es = conv_edge_init(keys[8], d, dtype)
+    p["edge_update"], state["edge_update"] = ep_, es
+    p["head"] = (cholesky_head_init(keys[9], cfg) if cfg.cholesky
+                 else scalar_head_init(keys[9], cfg))
+    centers, gamma = rbf_ops.rbf_expansion_params(-4.0, 0.0, d, dtype)
+    p["rbf_centers"], p["rbf_gamma"] = centers, jnp.asarray(gamma, dtype)
+    centers_a, gamma_a = rbf_ops.rbf_expansion_params(-1.0, 1.0, d, dtype)
+    p["rbfa_centers"], p["rbfa_gamma"] = centers_a, jnp.asarray(gamma_a, dtype)
+    return p, state
+
+
+def icomformer_apply(params, state, batch: CrystalBatch, cfg: ModelConfig,
+                     training: bool = False, ep_axis: Optional[str] = None,
+                     edge_stat_axes=(), node_stat_axes=()):
+    dt = cfg.compute_dtype
+    t = nn.linear(params["temp_proj"], batch.temperature[:, None].astype(dt))
+    x = nn.embedding(params["embedding"], batch.z).astype(dt) + t[batch.graph_id]
+
+    dist = jnp.maximum(batch.cart_dist.astype(dt), 1e-6)
+    efeat = -0.75 / dist
+    cell_e = batch.cell.astype(dt)[batch.graph_id[batch.edge_src]]  # [E,3,3]
+    row_norm = jnp.linalg.norm(cell_e, axis=-1)                      # [E,3]
+    nei_len_feat = -0.75 / jnp.maximum(row_norm, 1e-6)
+    # cosine between each lattice row and the edge direction (comformer.py:18-23)
+    dirs = batch.cart_dir.astype(dt)
+    cosang = jnp.einsum("eri,ei->er", cell_e, dirs) / (
+        jnp.maximum(row_norm, 1e-6) *
+        jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-6))
+    cosang = jnp.clip(cosang, -1.0, 1.0)
+
+    e = _rbf_head_apply(params["rbf"], efeat, params["rbf_centers"],
+                        params["rbf_gamma"])
+    nei_len = _rbf_head_apply(params["rbf"], nei_len_feat,
+                              params["rbf_centers"], params["rbf_gamma"])
+    nei_ang = _rbf_head_apply(params["rbf_angle"], cosang,
+                              params["rbfa_centers"], params["rbfa_gamma"])
+
+    new_state = {}
+    kw = dict(training=training, ep_axis=ep_axis,
+              edge_stat_axes=edge_stat_axes, node_stat_axes=node_stat_axes)
+    x, new_state["conv0"] = conv_apply(params["conv0"], state["conv0"], x, e,
+                                       batch, cfg, **kw)
+    e, new_state["edge_update"] = conv_edge_apply(
+        params["edge_update"], state["edge_update"], e, nei_len, nei_ang,
+        batch.edge_mask, cfg, training, edge_stat_axes)
+    for i in (1, 2, 3):
+        x, new_state[f"conv{i}"] = conv_apply(params[f"conv{i}"],
+                                              state[f"conv{i}"], x, e,
+                                              batch, cfg, **kw)
+    if cfg.cholesky:
+        pred, mask = cholesky_head_apply(params["head"], x), batch.non_h_mask
+    else:
+        pred, mask = scalar_head_apply(params["head"], x, batch), batch.graph_mask
+    return pred, mask, new_state

@@ -1,0 +1,80 @@
+"""Minimal functional NN core: explicit pytree params, pure apply functions.
+
+Design: every module is an ``init(key, ...) -> params`` plus a pure
+``apply(params, x, ...)``. Params are nested dicts of jnp arrays — trivially
+shardable with jax.sharding, checkpointable with orbax, and transparent to
+pjit/shard_map. No global state, no tracing-hostile mutation.
+
+Initializers mirror PyTorch defaults so that training dynamics match the
+reference (torch.nn.Linear kaiming-uniform ≡ U(±1/sqrt(fan_in));
+reference embedding uses xavier_uniform: /root/reference/models/cartnet.py:114).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def torch_linear_init(key, in_dim: int, out_dim: int, bias: bool = True,
+                      dtype=jnp.float32):
+    """U(-1/sqrt(fan_in), 1/sqrt(fan_in)) for both W and b (torch.nn.Linear)."""
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / math.sqrt(in_dim)
+    p = {"w": jax.random.uniform(kw, (in_dim, out_dim), dtype, -bound, bound)}
+    if bias:
+        p["b"] = jax.random.uniform(kb, (out_dim,), dtype, -bound, bound)
+    return p
+
+
+def xavier_uniform(key, shape, dtype=jnp.float32):
+    fan_in, fan_out = shape[0], shape[1]
+    bound = math.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def linear(params, x):
+    y = jnp.dot(x, params["w"], preferred_element_type=x.dtype)
+    if "b" in params:
+        y = y + params["b"]
+    return y
+
+
+def embedding_init(key, num_embeddings: int, dim: int, dtype=jnp.float32,
+                   init: str = "xavier"):
+    if init == "xavier":
+        w = xavier_uniform(key, (num_embeddings, dim), dtype)
+    else:  # torch default: N(0, 1)
+        w = jax.random.normal(key, (num_embeddings, dim), dtype)
+    return {"w": w}
+
+
+def embedding(params, idx):
+    return jnp.take(params["w"], idx, axis=0)
+
+
+def mlp_init(key, dims: Sequence[int], bias: bool = True, dtype=jnp.float32):
+    """Params for a chain of Linear layers; activations applied by caller."""
+    keys = jax.random.split(key, len(dims) - 1)
+    return {f"lin{i}": torch_linear_init(k, dims[i], dims[i + 1], bias, dtype)
+            for i, k in enumerate(keys)}
+
+
+def mlp_silu(params, x, num_layers: int, final_act: bool = False):
+    """Linear → SiLU → … → Linear [→ SiLU]. num_layers = number of Linears."""
+    for i in range(num_layers):
+        x = linear(params[f"lin{i}"], x)
+        if i < num_layers - 1 or final_act:
+            x = jax.nn.silu(x)
+    return x
+
+
+def silu(x):
+    return jax.nn.silu(x)
+
+
+def softplus(x):
+    return jax.nn.softplus(x)

@@ -1,0 +1,72 @@
+"""Masked BatchNorm1d with PyTorch-parity semantics.
+
+The reference applies ``nn.BatchNorm1d`` to exactly the real edges/nodes of a
+dynamically batched graph (/root/reference/models/cartnet.py:198-199,238,269).
+On TPU we batch to static padded shapes, so the batch statistics MUST be
+computed over real elements only — padding must not pollute the mean/var.
+This is the single subtlest parity hazard of the rebuild (SURVEY.md §7).
+
+PyTorch semantics mirrored exactly:
+  * train: normalize by biased batch variance (divide by n);
+  * running stats: ``running = (1-momentum)*running + momentum*batch``, where
+    the variance contribution is the *unbiased* estimate (n/(n-1));
+  * eval: normalize by running stats.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def batch_norm_init(dim: int, dtype=jnp.float32):
+    params = {"gamma": jnp.ones((dim,), dtype), "beta": jnp.zeros((dim,), dtype)}
+    state = {"mean": jnp.zeros((dim,), dtype), "var": jnp.ones((dim,), dtype),
+             "count": jnp.zeros((), jnp.int32)}
+    return params, state
+
+
+def masked_batch_norm(params, state, x, mask, *, training: bool,
+                      momentum: float = 0.1, eps: float = 1e-5,
+                      axis_names=()):
+    """Apply masked batch norm.
+
+    Args:
+        x: [M, D] features (padded).
+        mask: [M] bool — True for real rows.
+        training: python bool (static under jit).
+        axis_names: mesh axes (inside shard_map) over which batch moments are
+            reduced — "sync BN" so a sharded batch sees the same statistics a
+            single-device run would.
+
+    Returns:
+        (y, new_state). In eval mode new_state is state unchanged.
+    """
+    if not training:
+        inv = jnp.reciprocal(jnp.sqrt(state["var"] + eps))
+        y = (x - state["mean"]) * inv * params["gamma"] + params["beta"]
+        return y, state
+
+    m = mask.astype(x.dtype)[:, None]
+    n = jnp.sum(m)
+    s1 = jnp.sum(x * m, axis=0)
+    if axis_names:
+        n = jax.lax.psum(n, axis_names)
+        s1 = jax.lax.psum(s1, axis_names)
+    n = jnp.maximum(n, 1.0)
+    mean = s1 / n
+    diff = (x - mean) * m
+    s2 = jnp.sum(diff * diff, axis=0)
+    if axis_names:
+        s2 = jax.lax.psum(s2, axis_names)
+    var = s2 / n  # biased, used for normalization
+    inv = jnp.reciprocal(jnp.sqrt(var + eps))
+    y = (x - mean) * inv * params["gamma"] + params["beta"]
+
+    unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))
+    new_state = {
+        "mean": (1.0 - momentum) * state["mean"] + momentum * mean,
+        "var": (1.0 - momentum) * state["var"] + momentum * unbiased,
+        "count": state["count"] + 1,
+    }
+    return y, new_state

@@ -1,0 +1,199 @@
+"""Run orchestration: train / inference / montecarlo.
+
+Mirrors /root/reference/train/train.py:36-145 (epoch loop, best-val tracking,
+checkpoint-on-improvement, final test with best params) and main.py:21-119
+(inference dump, Monte-Carlo rotation audit), adding what the reference lacks:
+true resume (epoch/optimizer/RNG restored) and multi-chip execution.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import pickle
+import time
+from typing import List
+
+import numpy as np
+
+from cartnet_tpu.config import Config
+from cartnet_tpu.data.pipeline import BatchPipeline, choose_pad_sizes
+from cartnet_tpu.models.factory import create_model
+from cartnet_tpu.train import checkpoint as ckpt
+from cartnet_tpu.train.logger import WandbLogger, create_loggers
+from cartnet_tpu.train.loop import (build_optimizer, init_train_state,
+                                    make_steps)
+
+
+def _pipelines(cfg: Config, splits):
+    train, val, test = splits
+    mn, me = choose_pad_sizes(train + val + test, cfg.data.batch_size)
+    mk = lambda recs, shuffle, augment, bs: BatchPipeline(
+        recs, bs, mn, me, shuffle=shuffle, augment=augment,
+        rotate_targets=cfg.model.cholesky, seed=cfg.seed)
+    return (mk(train, True, cfg.data.augment, cfg.data.batch_size),
+            mk(val, False, False, cfg.data.batch_size),
+            mk(test, False, False, cfg.data.batch_size))
+
+
+def run(cfg: Config, args):
+    import jax
+    from cartnet_tpu.cli import load_datasets
+
+    splits = load_datasets(cfg, limit=getattr(args, "limit", None))
+    train_pipe, val_pipe, test_pipe = _pipelines(cfg, splits)
+    model_init, model_apply = create_model(cfg.model)
+    optimizer = build_optimizer(cfg, len(train_pipe))
+    state = init_train_state(jax.random.key(cfg.seed), cfg, model_init,
+                             optimizer)
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(state.params))
+    logging.info("model %s: %.3fM params", cfg.model.name, n_params / 1e6)
+
+    if args.checkpoint_path:
+        state, _ = ckpt.restore_checkpoint(args.checkpoint_path, state)
+        logging.info("loaded checkpoint %s", args.checkpoint_path)
+
+    if getattr(args, "inference", False):
+        return inference(cfg, state, model_apply, test_pipe,
+                         args.inference_output)
+    if getattr(args, "montecarlo", False):
+        return montecarlo(cfg, state, model_apply, test_pipe,
+                          args.inference_output)
+    return train(cfg, state, model_apply, optimizer,
+                 (train_pipe, val_pipe, test_pipe),
+                 resume=getattr(args, "resume", False),
+                 wandb_enabled=getattr(args, "wandb", False),
+                 wandb_project=getattr(args, "wandb_project", ""),
+                 wandb_entity=getattr(args, "wandb_entity", ""))
+
+
+def train(cfg: Config, state, model_apply, optimizer, pipes, resume=False,
+          wandb_enabled=False, wandb_project="", wandb_entity=""):
+    import jax
+    from cartnet_tpu.train.loop import eval_epoch, train_epoch
+
+    train_pipe, val_pipe, test_pipe = pipes
+    loggers = create_loggers(cfg.run_dir)
+    wb = WandbLogger(wandb_project, wandb_entity, cfg.name, cfg,
+                     enabled=wandb_enabled)
+    micro, update, evals = make_steps(cfg, model_apply, optimizer)
+    ckpt_dir = os.path.join(cfg.run_dir, "ckpt")
+    best_dir = os.path.join(ckpt_dir, "best")
+    last_dir = os.path.join(ckpt_dir, "last")
+
+    start_epoch, best_val, best_epoch = 0, float("inf"), -1
+    if resume and ckpt.latest_step(last_dir) is not None:
+        state, meta = ckpt.restore_checkpoint(last_dir, state)
+        start_epoch = meta.get("epoch", -1) + 1
+        best_val = meta.get("best_val", float("inf"))
+        best_epoch = meta.get("best_epoch", -1)
+        logging.info("resumed at epoch %d (best %.5f @ %d)", start_epoch,
+                     best_val, best_epoch)
+
+    perf = {"train": [], "val": []}
+    epoch_times = []
+    for epoch in range(start_epoch, cfg.optim.max_epoch):
+        t0 = time.perf_counter()
+        state = train_epoch(state, train_pipe, micro, update,
+                            cfg.optim.batch_accumulation, loggers[0])
+        perf["train"].append(loggers[0].write_epoch(epoch))
+        eval_epoch(state, val_pipe, evals, loggers[1])
+        perf["val"].append(loggers[1].write_epoch(epoch))
+        epoch_times.append(time.perf_counter() - t0)
+
+        val_mae = perf["val"][-1]["MAE"]
+        if val_mae < best_val:
+            best_val, best_epoch = val_mae, epoch
+            ckpt.save_checkpoint(best_dir, state,
+                                 {"epoch": epoch, "val_MAE": val_mae})
+            logging.info("best checkpoint saved (epoch %d, val MAE %.5f)",
+                         epoch, val_mae)
+        ckpt.save_checkpoint(last_dir, state,
+                             {"epoch": epoch, "best_val": best_val,
+                              "best_epoch": best_epoch})
+        wb.log({**{f"train/{k}": v for k, v in perf["train"][-1].items()},
+                **{f"val/{k}": v for k, v in perf["val"][-1].items()},
+                "best/epoch": best_epoch, "best/val_MAE": best_val},
+               step=epoch)
+        logging.info("> Epoch %d: %.1fs (avg %.1fs) | best epoch %d "
+                     "val_MAE %.5f", epoch, epoch_times[-1],
+                     np.mean(epoch_times), best_epoch, best_val)
+
+    # final test with best params (train/train.py:114-117)
+    if ckpt.latest_step(best_dir) is not None:
+        state, _ = ckpt.restore_checkpoint(best_dir, state)
+    eval_epoch(state, test_pipe, evals, loggers[2])
+    test_stats = loggers[2].write_epoch(best_epoch)
+    wb.log({f"test/{k}": v for k, v in test_stats.items()})
+    wb.finish()
+    logging.info("test: %s", test_stats)
+    return state, test_stats
+
+
+def inference(cfg: Config, state, model_apply, test_pipe, output_path: str):
+    """Per-structure test sweep with ADP metrics (main.py:21-60)."""
+    import jax
+    from cartnet_tpu.train.loop import make_steps
+    from cartnet_tpu.train.metrics import (compute_3d_iou,
+                                           get_similarity_index)
+    _, _, evals = make_steps(cfg, model_apply, build_noop_optimizer())
+    out = {"pred": [], "true": [], "iou": [], "mae": [], "similarity_index": []}
+    for batch in test_pipe:
+        pred, mask, _ = evals(state.params, state.bn_state, batch)
+        m = np.asarray(mask)
+        p = np.asarray(pred)[m]
+        t = np.asarray(batch.y)[m]
+        out["pred"].append(p)
+        out["true"].append(t)
+        out["mae"].append(np.abs(p - t).reshape(len(p), -1).mean(-1))
+        out["iou"].append(np.asarray(compute_3d_iou(p, t)))
+        out["similarity_index"].append(np.asarray(get_similarity_index(p, t)))
+    for k in ("iou", "mae", "similarity_index"):
+        v = np.concatenate(out[k])
+        logging.info("Mean %s: %s +/- %s", k, v.mean(), v.std())
+    with open(output_path, "wb") as f:
+        pickle.dump(out, f)
+    return out
+
+
+def montecarlo(cfg: Config, state, model_apply, test_pipe, output_path: str,
+               iterations: int = 100):
+    """SO(3) robustness audit (main.py:62-119): prediction on unrotated input
+    is pseudo-truth; rotating cart_dir by R must track RᵀUR."""
+    import jax
+    import jax.numpy as jnp
+    from cartnet_tpu.ops.rotations import random_rotation
+    from cartnet_tpu.train.loop import make_steps
+    from cartnet_tpu.train.metrics import (compute_3d_iou,
+                                           get_similarity_index)
+    _, _, evals = make_steps(cfg, model_apply, build_noop_optimizer())
+    ious, maes, sims = [], [], []
+    key = jax.random.key(cfg.seed)
+    for it in range(iterations):
+        key, sub = jax.random.split(key)
+        R = random_rotation(sub)
+        for batch in test_pipe:
+            pseudo, mask, _ = evals(state.params, state.bn_state, batch)
+            rot = batch.replace(cart_dir=batch.cart_dir @ R)
+            pred, _, _ = evals(state.params, state.bn_state, rot)
+            m = np.asarray(mask)
+            Rn = np.asarray(R)
+            target = np.einsum("ji,njk,kl->nil", Rn, np.asarray(pseudo)[m], Rn)
+            p = np.asarray(pred)[m]
+            maes.append(np.abs(p - target).mean())
+            ious.append(np.asarray(compute_3d_iou(p, target)).mean())
+            sims.append(np.asarray(get_similarity_index(p, target)).mean())
+        logging.info("Montecarlo %d: IoU %.4f MAE %.6f S12 %.4f", it,
+                     ious[-1], maes[-1], sims[-1])
+    stats = {"iou": (np.mean(ious), np.std(ious)),
+             "mae": (np.mean(maes), np.std(maes)),
+             "similarity_index": (np.mean(sims), np.std(sims))}
+    logging.info("Montecarlo: %s", stats)
+    with open(output_path, "wb") as f:
+        pickle.dump(stats, f)
+    return stats
+
+
+def build_noop_optimizer():
+    import optax
+    return optax.sgd(0.0)

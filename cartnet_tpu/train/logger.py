@@ -1,0 +1,122 @@
+"""Epoch-stats logger: batch-weighted accumulation -> per-split stats.json.
+
+Equivalent of the reference CustomLogger (/root/reference/logger/logger.py:20-139):
+batch-size-weighted loss/MAE/MSE/custom stats, per-epoch r2 + spearman over the
+collected predictions, stats.json per split dir, wall-time accounting.
+wandb is optional and degrades to a no-op when unavailable/offline.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+def eval_r2(y_true: np.ndarray, y_pred: np.ndarray) -> float:
+    ss_res = float(np.sum((y_true - y_pred) ** 2))
+    ss_tot = float(np.sum((y_true - np.mean(y_true)) ** 2))
+    return 1.0 - ss_res / ss_tot if ss_tot > 0 else 0.0
+
+
+def eval_spearman(y_true: np.ndarray, y_pred: np.ndarray) -> float:
+    def rank(a):
+        order = np.argsort(a)
+        r = np.empty_like(order, dtype=np.float64)
+        r[order] = np.arange(len(a))
+        # average ties
+        _, inv, cnt = np.unique(a, return_inverse=True, return_counts=True)
+        sums = np.zeros(len(cnt))
+        np.add.at(sums, inv, r)
+        return sums[inv] / cnt[inv]
+
+    rt, rp = rank(y_true.ravel()), rank(y_pred.ravel())
+    if rt.std() == 0 or rp.std() == 0:
+        return 0.0
+    return float(np.corrcoef(rt, rp)[0, 1])
+
+
+class EpochLogger:
+    """One split's accumulator (train/val/test)."""
+
+    def __init__(self, name: str, out_dir: Optional[str] = None):
+        self.name = name
+        self.out_dir = out_dir
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
+        self.reset()
+        self._time_total = 0.0
+
+    def reset(self):
+        self._size = 0.0
+        self._sums: Dict[str, float] = {}
+        self._lr = 0.0
+        self._time_used = 0.0
+        self._true: List[np.ndarray] = []
+        self._pred: List[np.ndarray] = []
+
+    def update(self, stats: Dict, weight: float = 1.0, time_used: float = 0.0,
+               lr: float = 0.0, true=None, pred=None):
+        self._size += weight
+        for k, v in stats.items():
+            self._sums[k] = self._sums.get(k, 0.0) + float(v) * weight
+        self._lr = lr
+        self._time_used += time_used
+        self._time_total += time_used
+        if true is not None:
+            self._true.append(np.asarray(true).ravel())
+        if pred is not None:
+            self._pred.append(np.asarray(pred).ravel())
+
+    def write_epoch(self, epoch: int) -> Dict:
+        size = max(self._size, 1.0)
+        stats = {"epoch": epoch,
+                 "time_epoch": round(self._time_used, 5),
+                 "lr": self._lr,
+                 **{k: v / size for k, v in self._sums.items()}}
+        if self._true and self._pred:
+            t = np.concatenate(self._true)
+            p = np.concatenate(self._pred)
+            stats["r2"] = eval_r2(t, p)
+            stats["spearmanr"] = eval_spearman(t, p)
+        logging.info("%s: %s", self.name, stats)
+        if self.out_dir:
+            with open(os.path.join(self.out_dir, "stats.json"), "a") as f:
+                f.write(json.dumps(stats) + "\n")
+        self.reset()
+        return stats
+
+
+def create_loggers(run_dir: Optional[str] = None):
+    """Train/val/test loggers, mirroring create_logger (logger/logger.py:142)."""
+    names = ["train", "val", "test"]
+    return [EpochLogger(n, os.path.join(run_dir, n) if run_dir else None)
+            for n in names]
+
+
+class WandbLogger:
+    """Optional wandb sink; silently disabled if wandb is missing/offline."""
+
+    def __init__(self, project: str = "", entity: str = "", name: str = "",
+                 config=None, enabled: bool = False):
+        self.run = None
+        if not enabled:
+            return
+        try:
+            import wandb  # noqa: deferred optional dep
+            self.run = wandb.init(project=project or None, entity=entity or None,
+                                  name=name or None, config=config)
+        except Exception as e:  # pragma: no cover
+            logging.warning("wandb disabled: %s", e)
+
+    def log(self, data: Dict, step: Optional[int] = None):
+        if self.run is not None:
+            self.run.log(data, step=step)
+
+    def finish(self):
+        if self.run is not None:
+            self.run.finish()

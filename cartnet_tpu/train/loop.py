@@ -1,0 +1,126 @@
+"""Training/eval steps and the epoch loop.
+
+Mirrors the reference loop semantics (/root/reference/train/train.py):
+  * per micro-batch: forward, loss (MAE or MSE), backward (grads SUMMED into
+    an accumulator — PyTorch accumulates, never averages: :183-189);
+  * optimizer+scheduler step every ``batch_accumulation`` micro-batches or at
+    epoch end;
+  * BN running stats advance every train micro-batch;
+  * best-epoch tracking by val MAE, checkpoint on improvement (:75,91-102),
+    final test eval with the best params (:114-117).
+
+Everything device-side is jitted with donated state; the host loop only feeds
+batches and logs.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Callable, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from cartnet_tpu.config import Config
+from cartnet_tpu.data.schema import CrystalBatch
+from cartnet_tpu.train.metrics import masked_mae_mse
+from cartnet_tpu.train.schedule import make_optimizer, reference_total_steps
+from cartnet_tpu.train.state import TrainState
+
+
+def loss_fn(params, bn_state, batch: CrystalBatch, model_apply, cfg: Config,
+            training: bool):
+    pred, mask, new_bn = model_apply(params, bn_state, batch, cfg.model,
+                                     training=training)
+    mae, mse = masked_mae_mse(pred, batch.y, mask)
+    loss = mae if cfg.optim.loss == "MAE" else mse
+    return loss, (mae, mse, new_bn)
+
+
+def init_train_state(key, cfg: Config, model_init, optimizer) -> TrainState:
+    pkey, rkey = jax.random.split(key)
+    params, bn_state = model_init(pkey, cfg.model)
+    opt_state = optimizer.init(params)
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    return TrainState(params=params, bn_state=bn_state, opt_state=opt_state,
+                      grad_accum=zeros, accum_count=jnp.zeros((), jnp.int32),
+                      step=jnp.zeros((), jnp.int32), rng=rkey)
+
+
+def make_steps(cfg: Config, model_apply, optimizer):
+    """Build jitted (micro_step, update_step, eval_step)."""
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def micro_step(state: TrainState, batch: CrystalBatch):
+        (loss, (mae, mse, new_bn)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.bn_state, batch,
+                                   model_apply, cfg, True)
+        acc = jax.tree.map(jnp.add, state.grad_accum, grads)
+        state = state.replace(bn_state=new_bn, grad_accum=acc,
+                              accum_count=state.accum_count + 1)
+        return state, {"loss": loss, "MAE": mae, "MSE": mse}
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def update_step(state: TrainState):
+        updates, opt_state = optimizer.update(state.grad_accum, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        zeros = jax.tree.map(jnp.zeros_like, state.grad_accum)
+        return state.replace(params=params, opt_state=opt_state,
+                             grad_accum=zeros,
+                             accum_count=jnp.zeros((), jnp.int32),
+                             step=state.step + 1)
+
+    @jax.jit
+    def eval_step(params, bn_state, batch: CrystalBatch):
+        pred, mask, _ = model_apply(params, bn_state, batch, cfg.model,
+                                    training=False)
+        mae, mse = masked_mae_mse(pred, batch.y, mask)
+        loss = mae if cfg.optim.loss == "MAE" else mse
+        return pred, mask, {"loss": loss, "MAE": mae, "MSE": mse}
+
+    return micro_step, update_step, eval_step
+
+
+def train_epoch(state: TrainState, batches: Iterable[CrystalBatch], micro_step,
+                update_step, batch_accumulation: int, logger=None,
+                batch_weights: Optional[Iterable[float]] = None):
+    """One epoch; steps optimizer every N micro-batches and at epoch end."""
+    n = 0
+    for i, batch in enumerate(batches):
+        t0 = time.time()
+        state, stats = micro_step(state, batch)
+        n += 1
+        if (i + 1) % batch_accumulation == 0:
+            state = update_step(state)
+        if logger is not None:
+            w = float(jnp.sum(batch.graph_mask))
+            logger.update(stats, weight=w, time_used=time.time() - t0)
+    if int(state.accum_count) > 0:  # epoch-end flush (train/train.py:186)
+        state = update_step(state)
+    return state
+
+
+def eval_epoch(state: TrainState, batches: Iterable[CrystalBatch], eval_step,
+               logger=None, collect=False):
+    preds = []
+    for batch in batches:
+        t0 = time.time()
+        pred, mask, stats = eval_step(state.params, state.bn_state, batch)
+        if logger is not None:
+            w = float(jnp.sum(batch.graph_mask))
+            logger.update(stats, weight=w, time_used=time.time() - t0)
+        if collect:
+            preds.append((pred, mask, batch))
+    return preds
+
+
+def build_optimizer(cfg: Config, steps_per_epoch: int):
+    total = reference_total_steps(cfg.optim.max_epoch, steps_per_epoch,
+                                  cfg.optim.batch_accumulation)
+    return make_optimizer(cfg.optim.lr, total, cfg.optim.warmup,
+                          cfg.optim.div_factor, cfg.optim.final_div_factor,
+                          cfg.optim.cycle_momentum, cfg.optim.base_momentum,
+                          cfg.optim.max_momentum, cfg.optim.grad_clip)

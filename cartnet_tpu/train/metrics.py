@@ -1,0 +1,95 @@
+"""Losses and ADP evaluation metrics (pure jnp, vectorized).
+
+Parity targets in /root/reference/train/metrics.py:
+  * compute_loss (:15-28) — masked MAE/MSE means over real elements;
+  * get_volume / get_error_volume (:30-58);
+  * get_similarity_index S12 (:76-94);
+  * compute_3D_IoU via 64^3 Mahalanobis voxelization (:96-180);
+  * get_KL between zero-mean Gaussians (:60-74).
+
+All 3x3 linear algebra uses closed forms (ops/linalg3) so everything jits and
+vmaps; the IoU voxel grid is evaluated as one batched einsum instead of the
+reference's per-matrix meshgrid loop.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+
+from cartnet_tpu.ops.linalg3 import det3, frobenius3, inv3
+
+SMOOTH = 1e-8
+
+
+def masked_mae_mse(pred, true, mask):
+    """Masked elementwise MAE/MSE means.
+
+    pred/true: [..., *] with leading mask-aligned axis; mask: [M] bool.
+    Equivalent to the reference's l1_loss/mse_loss over the real (unpadded)
+    selection (train/metrics.py:26-28).
+    """
+    m = mask.astype(pred.dtype)
+    m = m.reshape(m.shape + (1,) * (pred.ndim - m.ndim))
+    diff = (pred - true) * m
+    count = jnp.maximum(jnp.sum(m) * math.prod(pred.shape[mask.ndim:]), 1.0)
+    mae = jnp.sum(jnp.abs(diff)) / count
+    mse = jnp.sum(diff * diff) / count
+    return mae, mse
+
+
+def get_volume(u):
+    """Ellipsoid volume 4/3 pi sqrt(det U) for [..., 3, 3]."""
+    return (4.0 / 3.0) * jnp.pi * jnp.sqrt(det3(u))
+
+
+def get_error_volume(pred, true):
+    """|V(pred) - V(true)| / (V(pred)+eps) — reference arg-order quirk included
+    (reference names the pred volume ``volume_true``, metrics.py:56-58)."""
+    vp = get_volume(pred)
+    vt = get_volume(true)
+    return jnp.abs(vp - vt) / (vp + SMOOTH)
+
+
+def get_similarity_index(pred, true):
+    """S12 similarity in percent (doi:10.1107/S0108768106020787)."""
+    ip, it = inv3(pred), inv3(true)
+    num = 2.0 ** 1.5 * det3(jnp.matmul(it, ip)) ** 0.25
+    den = det3(it + ip) ** 0.5
+    return 100.0 * (1.0 - num / den)
+
+
+def get_kl(pred, true):
+    """KL(N(0,true) || N(0,pred)) for batched 3x3 SPD (metrics.py:60-74)."""
+    ip = inv3(pred)
+    tr = jnp.trace(jnp.matmul(ip, true), axis1=-2, axis2=-1)
+    logdet = jnp.log(det3(pred) / det3(true))
+    return 0.5 * (tr - 3.0 + logdet)
+
+
+def _ellipsoid_masks(u, num_points: int = 64):
+    """Boolean voxel masks of unit-cube ellipsoids, [n, P, P, P].
+
+    Mahalanobis distance xᵀ U⁻¹ x < 1 over a linspace(-1,1) grid — one fused
+    einsum for the whole batch (reference builds per-matrix grids,
+    metrics.py:114-152).
+    """
+    g = jnp.linspace(-1.0, 1.0, num_points)
+    pts = jnp.stack(jnp.meshgrid(g, g, g, indexing="ij"), axis=-1).reshape(-1, 3)
+    inv = inv3(u)
+    # d2[n, p] = pts[p] @ inv[n] @ pts[p]
+    d2 = jnp.einsum("pi,nij,pj->np", pts, inv, pts)
+    return (d2 < 1.0).reshape(u.shape[0], num_points, num_points, num_points)
+
+
+def compute_3d_iou(pred, true, num_points: int = 64):
+    """Voxelized ellipsoid IoU in [0,1], per matrix pair (metrics.py:155-180)."""
+    np_ = frobenius3(pred)
+    nt = frobenius3(true)
+    norm = jnp.where(np_ > nt, np_, nt)[..., None, None]
+    mp = _ellipsoid_masks(pred / norm, num_points)
+    mt = _ellipsoid_masks(true / norm, num_points)
+    inter = jnp.sum(mp & mt, axis=(1, 2, 3)).astype(jnp.float32)
+    union = jnp.sum(mp | mt, axis=(1, 2, 3)).astype(jnp.float32)
+    return (inter + SMOOTH) / (union + SMOOTH)
