@@ -2,10 +2,13 @@
 
 ADP-scale workload (avg 194 atoms/crystal, radius 5.0 — reference README.md:95)
 on the flagship config (dim 256, rbf 64, 4 layers, Cholesky head, batch 4 like
-scripts/train_cartnet_adp.sh). The reference publishes no throughput numbers
-(SURVEY.md §6), so vs_baseline compares against the per-edge-MLP roofline:
-fwd+bwd ≈ 3x fwd FLOPs of 2 edge-level [E,d]x[d,d] GEMMs + 4 node-level
-[N,d]x[d,2d]-equivalent GEMMs per layer.
+scripts/train_cartnet_adp.sh). Padding is right-sized to the workload (~4%
+waste) — static shapes, one compilation.
+
+The reference publishes no throughput numbers (SURVEY.md §6), so vs_baseline
+compares against a speed-of-light roofline for the step's GEMM work:
+per layer fwd, 2 edge-level [E,2d]-wide MLP GEMM pairs + node projections;
+backward ~2x forward; at the chip's matmul peak.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -20,23 +23,33 @@ import numpy as np
 
 def main():
     import jax
+    # persistent compile cache: Pallas+XLA compiles are minutes-slow through
+    # the remote-compile tunnel; cache under the repo so reruns are instant.
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
     from cartnet_tpu.config import Config, DataConfig, ModelConfig, OptimConfig
     from cartnet_tpu.data.batching import collate
+    from cartnet_tpu.data.pipeline import choose_pad_sizes
     from cartnet_tpu.data.synthetic import synthetic_dataset
     from cartnet_tpu.models.cartnet import cartnet_apply, cartnet_init
     from cartnet_tpu.train.loop import (build_optimizer, init_train_state,
                                         make_steps)
 
-    dim = 256
+    dim, layers, graphs = 256, 4, 4
+    recs = synthetic_dataset(8, mean_atoms=194, radius=5.0, adp=True, seed=0)
+    max_nodes, max_edges = choose_pad_sizes(recs, graphs)
     cfg = Config(
-        model=ModelConfig(dim_in=dim, dim_rbf=64, num_layers=4, cholesky=True),
-        data=DataConfig(max_nodes=1024, max_edges=65536, max_graphs=4),
+        model=ModelConfig(dim_in=dim, dim_rbf=64, num_layers=layers,
+                          cholesky=True),
+        data=DataConfig(max_nodes=max_nodes, max_edges=max_edges,
+                        max_graphs=graphs),
         optim=OptimConfig(lr=1e-3, batch_accumulation=1))
 
-    recs = synthetic_dataset(8, mean_atoms=194, radius=5.0, adp=True, seed=0)
-    batches = [collate(recs[i * 4:(i + 1) * 4], cfg.data.max_nodes,
-                       cfg.data.max_edges, cfg.data.max_graphs)
-               for i in range(2)]
+    batches = [collate(recs[i * graphs:(i + 1) * graphs], max_nodes, max_edges,
+                       graphs) for i in range(2)]
+    batches = [jax.tree.map(jnp.asarray, b) for b in batches]
     real_edges = int(np.asarray(batches[0].edge_mask).sum())
     real_nodes = int(np.asarray(batches[0].node_mask).sum())
 
@@ -50,7 +63,7 @@ def main():
         state = update(state)
     jax.block_until_ready(state.params)
 
-    iters = 30
+    iters = 50
     t0 = time.perf_counter()
     for i in range(iters):
         state, _ = micro(state, batches[i % 2])
@@ -60,11 +73,9 @@ def main():
 
     edges_per_sec = real_edges * iters / dt
 
-    # speed-of-light estimate for one fused train step on this chip:
-    # per layer fwd: edge GEMMs 2x[E,d]x[d,d] + node GEMMs 2x[N,d]x[d,d]
-    # (+ encoder/head, minor). bwd ~ 2x fwd. Use measured peak via device kind.
-    layers = cfg.model.num_layers
-    flops_fwd = layers * 2 * 2 * dim * dim * (real_edges + real_nodes)
+    # roofline: per layer fwd = 2 edge GEMM pairs (d->d twice per MLP, merged
+    # first layer counted as 2x [E,d]x[d,d]) + node projections; bwd ~ 2x fwd.
+    flops_fwd = layers * (4 * max_edges + 4 * real_nodes) * dim * dim * 2
     flops_step = 3 * flops_fwd
     peak = _peak_flops(jax.devices()[0])
     sol_edges_per_sec = real_edges / (flops_step / peak)
@@ -79,17 +90,16 @@ def main():
 
 def _peak_flops(device) -> float:
     kind = getattr(device, "device_kind", "").lower()
-    # f32 dense peak; bf16 would be ~2x
     table = {
-        "tpu v5 lite": 98e12,   # v5e bf16 197 TFLOPs -> ~98 f32-ish effective
-        "tpu v5": 197e12,
-        "tpu v4": 137.5e12,
-        "tpu v6": 459e12,
+        "tpu v5 lite": 197e12,  # v5e bf16 peak (XLA default matmul precision
+        "tpu v5p": 459e12,      # runs f32 inputs through bf16 MXU passes)
+        "tpu v4": 275e12,
+        "tpu v6": 918e12,
     }
     for k, v in table.items():
         if k in kind:
             return v
-    return 50e12  # conservative default (also used on CPU smoke)
+    return 100e12  # conservative default (CPU smoke etc.)
 
 
 if __name__ == "__main__":

@@ -62,6 +62,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="resume from the run's checkpoint dir")
     p.add_argument("--limit", type=int, default=None,
                    help="truncate dataset (smoke runs)")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (the container sitecustomize "
+                        "pins jax_platforms to the axon TPU tunnel)")
+    p.add_argument("--cholesky", action="store_true",
+                   help="force the Cholesky ADP head (e.g. synthetic ADP runs; "
+                        "implied by --dataset ADP)")
     return p
 
 
@@ -75,7 +81,7 @@ def args_to_config(args) -> Config:
     max_neigh = -1 if model_name == "cartnet" else args.max_neighbours
     augment = False if model_name in ("icomformer", "ecomformer") else args.augment
     use_temp = False if dataset != "ADP" else args.use_temp
-    cholesky = dataset == "ADP"
+    cholesky = dataset == "ADP" or getattr(args, "cholesky", False)
     model = ModelConfig(
         name=model_name, dim_in=args.dim_in, dim_rbf=args.dim_rbf,
         num_layers=args.num_layers, radius=args.radius,
@@ -135,6 +141,16 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(levelname)s %(message)s")
     args = build_parser().parse_args(argv)
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        # persistent compile cache: Pallas/XLA compiles are minutes-slow via
+        # the remote tunnel. TPU-only — XLA:CPU AOT caching is machine-feature
+        # sensitive and can SIGILL across container migrations.
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.abspath(".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     cfg = args_to_config(args)
     from cartnet_tpu.runner import run
     run(cfg, args)

@@ -89,8 +89,11 @@ def collate(records: Sequence[dict], max_nodes: int, max_edges: int,
         raise ValueError(f"edge overflow: {e} > {max_edges}")
 
     order = np.argsort(dst, kind="stable")  # deterministic reduction order
-    esrc = np.zeros(max_edges, np.int32)
-    edst = np.zeros(max_edges, np.int32)
+    # pad edges point at the LAST node so the id sequence stays monotone —
+    # required for the indices_are_sorted fast path and the Pallas kernel
+    # (pad values are masked/dropped, so the target row is never polluted).
+    esrc = np.full(max_edges, max_nodes - 1, np.int32)
+    edst = np.full(max_edges, max_nodes - 1, np.int32)
     edist = np.zeros(max_edges, np.float32)
     edir = np.zeros((max_edges, 3), np.float32)
     emask = np.zeros(max_edges, bool)
@@ -99,8 +102,32 @@ def collate(records: Sequence[dict], max_nodes: int, max_edges: int,
     edist[:e] = dist[order]
     edir[:e] = dire[order]
     emask[:e] = True
+    src_perm = np.argsort(esrc, kind="stable").astype(np.int32)
+    pallas_ok = bool(_windows_ok(edst, emask) and
+                     _windows_ok(esrc[src_perm], emask[src_perm]))
 
     return CrystalBatch(
         z=z, pos=pos, graph_id=graph_id, node_mask=node_mask, non_h_mask=non_h,
         edge_src=esrc, edge_dst=edst, cart_dir=edir, cart_dist=edist,
-        edge_mask=emask, cell=cell, temperature=temp, graph_mask=graph_mask, y=y)
+        edge_mask=emask, cell=cell, temperature=temp, graph_mask=graph_mask, y=y,
+        edge_src_perm=src_perm, pallas_seg_ok=pallas_ok)
+
+
+def _windows_ok(ids: np.ndarray, mask: np.ndarray) -> bool:
+    """True if every T-edge window of real ids spans < C node rows — the
+    soundness condition of the windowed Pallas segment-sum kernel
+    (ops/pallas/segment_kernels.py)."""
+    from cartnet_tpu.ops.pallas.segment_kernels import C_WINDOW, T_EDGES
+    e = len(ids)
+    if e % T_EDGES != 0:
+        return False
+    for start in range(0, e, T_EDGES):
+        w_ids = ids[start:start + T_EDGES]
+        w_mask = mask[start:start + T_EDGES]
+        if not w_mask.any():
+            continue
+        real = w_ids[w_mask]
+        lo = (w_ids[0] // 8) * 8  # kernel aligns the window base down to 8
+        if real.max() - lo >= C_WINDOW:
+            return False
+    return True

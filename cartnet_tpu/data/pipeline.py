@@ -9,6 +9,8 @@ dataset (one XLA compilation, no recompile storms; pad waste is reported).
 from __future__ import annotations
 
 import logging
+import queue
+import threading
 from typing import Iterator, List, Optional, Sequence
 
 import numpy as np
@@ -47,7 +49,8 @@ class BatchPipeline:
                  max_nodes: Optional[int] = None, max_edges: Optional[int] = None,
                  shuffle: bool = False, augment: bool = False,
                  rotate_targets: bool = True, seed: int = 0,
-                 drop_last: bool = False):
+                 drop_last: bool = False, prefetch: int = 2,
+                 cache: Optional[bool] = None):
         self.records = records
         self.batch_size = batch_size
         if max_nodes is None or max_edges is None:
@@ -57,13 +60,17 @@ class BatchPipeline:
         self.augment = augment
         self.rotate_targets = rotate_targets
         self.drop_last = drop_last
+        self.prefetch = prefetch
+        # static eval pipelines (no shuffle/augment) collate once, reuse forever
+        self.cache = (not shuffle and not augment) if cache is None else cache
+        self._cached: Optional[List[CrystalBatch]] = None
         self._rng = np.random.default_rng(seed)
 
     def __len__(self):
         n = len(self.records)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
-    def __iter__(self) -> Iterator[CrystalBatch]:
+    def _make_batches(self) -> Iterator[CrystalBatch]:
         order = np.arange(len(self.records))
         if self.shuffle:
             self._rng.shuffle(order)
@@ -75,3 +82,32 @@ class BatchPipeline:
                 recs = [augment_record(r, self._rng, self.rotate_targets)
                         for r in recs]
             yield collate(recs, self.max_nodes, self.max_edges, bs)
+
+    def __iter__(self) -> Iterator[CrystalBatch]:
+        if self.cache:
+            if self._cached is None:
+                self._cached = list(self._make_batches())
+            yield from self._cached
+            return
+        if self.prefetch <= 0:
+            yield from self._make_batches()
+            return
+        # background-thread collation so host batch prep overlaps device steps
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        done = object()
+
+        def producer():
+            try:
+                for b in self._make_batches():
+                    q.put(b)
+            finally:
+                q.put(done)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is done:
+                break
+            yield item
+        t.join()

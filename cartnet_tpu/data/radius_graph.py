@@ -26,7 +26,7 @@ import numpy as np
 
 def radius_graph_pbc(pos: np.ndarray, cell: np.ndarray, radius: float,
                      max_neighbors: Optional[int] = None,
-                     pbc=(True, True, True)
+                     pbc=(True, True, True), backend: str = "auto"
                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Build the PBC radius graph of one crystal.
 
@@ -35,11 +35,23 @@ def radius_graph_pbc(pos: np.ndarray, cell: np.ndarray, radius: float,
         cell: [3, 3] lattice vectors as rows.
         radius: cutoff radius.
         max_neighbors: per-atom cap (None/-1 = uncapped).
+        backend: "auto" (C++ extension when available + full pbc),
+            "numpy", or "native" (error if unavailable).
 
     Returns:
         (edge_src, edge_dst, cart_dist, cart_dir): [e], [e], [e], [e, 3].
         cart_dir is the unit vector pos[dst] - imaged_pos[src].
     """
+    if backend in ("auto", "native") and all(pbc):
+        from cartnet_tpu.native import get_native
+        nat = get_native()
+        if nat is not None:
+            return nat.radius_graph_pbc(
+                np.ascontiguousarray(pos, np.float64),
+                np.ascontiguousarray(cell, np.float64), float(radius),
+                int(max_neighbors) if max_neighbors else -1)
+        if backend == "native":
+            raise RuntimeError("native radius-graph extension unavailable")
     pos = np.asarray(pos, np.float64)
     cell = np.asarray(cell, np.float64)
     n = pos.shape[0]

@@ -46,6 +46,14 @@ class CrystalBatch:
     graph_mask: jnp.ndarray   # [G] bool
     # targets: scalar [G] or per-node ADP [N, 3, 3]
     y: jnp.ndarray
+    # permutation making edge_src sorted (edge_src[edge_src_perm] ascending);
+    # lets the src-gather's VJP scatter-add run as a SORTED segment-sum
+    # (23x faster than XLA's unsorted scatter on TPU — scripts/profile_ops.py).
+    # None inside edge-partitioned shard_map shards (perm is per-full-batch).
+    edge_src_perm: Optional[jnp.ndarray] = None  # [E] int32
+    # static: True when every edge window satisfies the Pallas segment-sum
+    # span condition (batching._windows_ok) for both dst and sorted-src ids.
+    pallas_seg_ok: bool = flax.struct.field(pytree_node=False, default=False)
 
     @property
     def num_nodes(self) -> int:

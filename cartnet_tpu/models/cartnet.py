@@ -99,25 +99,48 @@ def layer_init(key, cfg: ModelConfig):
     return p, {"bn": bn_s, "bn2": bn2_s}
 
 
-def _edge_mlp_split(mlp, x, src, dst, e):
-    """First layer of MLP([x_dst ‖ x_src ‖ e]) via node-level block matmuls.
+def _dual_edge_mlp(p, x, e, batch: CrystalBatch):
+    """Both per-edge MLPs (gate & aggregate) with merged projections.
 
-    lin0.w is [3d, d] with row blocks (W_i | W_j | W_e) matching the
-    reference concat order [x_i, x_j, e] (models/cartnet.py:237,256) where
-    x_i = x[dst] (PyG target), x_j = x[src].
+    Each MLP's first layer acts on [x_dst ‖ x_src ‖ e] (reference concat order
+    models/cartnet.py:237,256; x_i = x[dst] PyG target, x_j = x[src]). The
+    two MLPs' node blocks are fused into ONE [N, 2d] projection per endpoint
+    so each endpoint needs a single [E, 2d] gather instead of two [E, d]
+    gathers; gathers use sorted-VJP (dst is pre-sorted, src via the collate
+    permutation) so backward scatter-adds hit the fast sorted path.
+    Identical math to two independent MLP([xi‖xj‖e]) evaluations.
     """
     d = x.shape[-1]
-    w, b = mlp["lin0"]["w"], mlp["lin0"]["b"]
-    xi = jnp.dot(x, w[:d], preferred_element_type=x.dtype)
-    xj = jnp.dot(x, w[d:2 * d], preferred_element_type=x.dtype)
-    pre = xi[dst] + xj[src] + jnp.dot(e, w[2 * d:],
-                                      preferred_element_type=x.dtype) + b
-    return nn.linear(mlp["lin1"], jax.nn.silu(pre))
+    wg, bg = p["mlp_gate"]["lin0"]["w"], p["mlp_gate"]["lin0"]["b"]
+    wa, ba = p["mlp_aggr"]["lin0"]["w"], p["mlp_aggr"]["lin0"]["b"]
+    wi = jnp.concatenate([wg[:d], wa[:d]], axis=1)              # [d, 2d]
+    wj = jnp.concatenate([wg[d:2 * d], wa[d:2 * d]], axis=1)
+    we = jnp.concatenate([wg[2 * d:], wa[2 * d:]], axis=1)
+    b = jnp.concatenate([bg, ba])
+
+    xi = jnp.dot(x, wi, preferred_element_type=x.dtype)          # [N, 2d]
+    xj = jnp.dot(x, wj, preferred_element_type=x.dtype)
+    if batch.edge_src_perm is None:
+        # shard_map path: no batch-global permutation; plain gathers (the
+        # custom-vjp collective-typing doesn't compose with vma tracking).
+        gi = xi[batch.edge_dst]
+        gj = xj[batch.edge_src]
+    else:
+        dst_perm = jnp.arange(batch.num_edges, dtype=jnp.int32)  # dst sorted
+        gi = segment.gather_edges(xi, batch.edge_dst, dst_perm,
+                                  batch.pallas_seg_ok)
+        gj = segment.gather_edges(xj, batch.edge_src, batch.edge_src_perm,
+                                  batch.pallas_seg_ok)
+    pre = gi + gj + jnp.dot(e, we, preferred_element_type=x.dtype) + b
+    h = jax.nn.silu(pre)
+    gate = nn.linear(p["mlp_gate"]["lin1"], h[:, :d])
+    sender = nn.linear(p["mlp_aggr"]["lin1"], h[:, d:])
+    return gate, sender
 
 
 def layer_apply(p, state, x, e, batch: CrystalBatch, cfg: ModelConfig,
                 training: bool, ep_axis: Optional[str] = None,
-                edge_stat_axes=(), node_stat_axes=()):
+                edge_stat_axes=(), node_stat_axes=(), envelope=None):
     """One message-passing layer.
 
     Inside shard_map with edges partitioned over ``ep_axis`` (nodes
@@ -125,22 +148,26 @@ def layer_apply(p, state, x, e, batch: CrystalBatch, cfg: ModelConfig,
     are psum'd over the edge axis — the GNN analogue of tensor-parallel
     all-reduce. BN batch moments reduce over the given stat axes (sync BN) so
     sharded training matches the single-device statistics exactly.
+
+    ``envelope``: precomputed CosineCutoff(dist) [E] (identical across layers,
+    so the caller hoists it out of the layer loop).
     """
-    src, dst = batch.edge_src, batch.edge_dst
     x_in, e_in = x, e
 
-    gate = _edge_mlp_split(p["mlp_gate"], x, src, dst, e)
+    gate, sender = _dual_edge_mlp(p, x, e, batch)
     gate, bn_s = masked_batch_norm(p["bn"], state["bn"], gate, batch.edge_mask,
                                    training=training, momentum=cfg.bn_momentum,
                                    eps=cfg.bn_eps, axis_names=edge_stat_axes)
     sigma = jax.nn.sigmoid(gate)
     if cfg.use_envelope:
-        env = rbf_ops.cosine_cutoff(batch.cart_dist.astype(x.dtype), cfg.radius)
+        env = (envelope if envelope is not None else
+               rbf_ops.cosine_cutoff(batch.cart_dist.astype(x.dtype), cfg.radius))
         sigma = env[:, None] * sigma
 
-    sender = _edge_mlp_split(p["mlp_aggr"], x, src, dst, e)
-    aggr = segment.masked_segment_sum(sigma * sender, dst, batch.edge_mask,
-                                      batch.num_nodes, sorted_ids=True)
+    aggr = segment.masked_segment_sum(sigma * sender, batch.edge_dst,
+                                      batch.edge_mask, batch.num_nodes,
+                                      sorted_ids=True,
+                                      pallas_ok=batch.pallas_seg_ok)
     if ep_axis is not None:
         aggr = jax.lax.psum(aggr, ep_axis)
     aggr, bn2_s = masked_batch_norm(p["bn2"], state["bn2"], aggr,
@@ -215,11 +242,13 @@ def cartnet_apply(params, state, batch: CrystalBatch, cfg: ModelConfig,
         new_state: updated BN running stats (== state when training=False).
     """
     x, e = encoder_apply(params["encoder"], batch, cfg)
+    envelope = (rbf_ops.cosine_cutoff(batch.cart_dist.astype(x.dtype),
+                                      cfg.radius) if cfg.use_envelope else None)
     new_state = {}
     for i in range(cfg.num_layers):
         x, e, ls = layer_apply(params[f"layer{i}"], state[f"layer{i}"], x, e,
                                batch, cfg, training, ep_axis,
-                               edge_stat_axes, node_stat_axes)
+                               edge_stat_axes, node_stat_axes, envelope)
         new_state[f"layer{i}"] = ls
     if cfg.cholesky:
         pred = cholesky_head_apply(params["head"], x)

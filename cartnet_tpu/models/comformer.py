@@ -54,13 +54,22 @@ def conv_init(key, d: int, dtype):
     return p, {"bn": bn_s, "bn_att": bn_att_s}
 
 
-def _split3(mlp, a_node_i, a_node_j, edge_term, src, dst):
-    """First layer of MLP([a_i ‖ a_j ‖ e]) via node-level block matmuls."""
+def _split3(mlp, a_node_i, a_node_j, edge_term, batch: CrystalBatch):
+    """First layer of MLP([a_i ‖ a_j ‖ e]) via node-level block matmuls,
+    with sorted-VJP gathers (see models/cartnet._dual_edge_mlp)."""
     d = a_node_i.shape[-1]
     w, b = mlp["lin0"]["w"], mlp["lin0"]["b"]
     ai = jnp.dot(a_node_i, w[:d], preferred_element_type=a_node_i.dtype)
     aj = jnp.dot(a_node_j, w[d:2 * d], preferred_element_type=a_node_i.dtype)
-    pre = ai[dst] + aj[src] + edge_term @ w[2 * d:] + b
+    if batch.edge_src_perm is None:
+        gi, gj = ai[batch.edge_dst], aj[batch.edge_src]
+    else:
+        dst_perm = jnp.arange(batch.num_edges, dtype=jnp.int32)
+        gi = segment.gather_edges(ai, batch.edge_dst, dst_perm,
+                                  batch.pallas_seg_ok)
+        gj = segment.gather_edges(aj, batch.edge_src, batch.edge_src_perm,
+                                  batch.pallas_seg_ok)
+    pre = gi + gj + edge_term @ w[2 * d:] + b
     return nn.linear(mlp["lin1"], jax.nn.silu(pre))
 
 
@@ -68,22 +77,23 @@ def conv_apply(p, state, x, edge_attr, batch: CrystalBatch, cfg: ModelConfig,
                training: bool, ep_axis: Optional[str] = None,
                edge_stat_axes=(), node_stat_axes=()):
     """Gated single-head attention conv (comformer_conv.py:71-99)."""
-    src, dst = batch.edge_src, batch.edge_dst
+    dst = batch.edge_dst
     q = nn.linear(p["lin_query"], x)
     k = nn.linear(p["lin_key"], x)
     v = nn.linear(p["lin_value"], x)
     e = nn.linear(p["lin_edge"], edge_attr)
 
-    key_j = _split3(p["key_update"], k, k, e, src, dst)
+    key_j = _split3(p["key_update"], k, k, e, batch)
     alpha = q[dst] * key_j / math.sqrt(x.shape[-1])
     alpha, bn_att_s = masked_batch_norm(p["bn_att"], state["bn_att"], alpha,
                                         batch.edge_mask, training=training,
                                         momentum=cfg.bn_momentum, eps=cfg.bn_eps,
                                         axis_names=edge_stat_axes)
-    msg = _split3(p["msg_update"], v, v, e, src, dst)
+    msg = _split3(p["msg_update"], v, v, e, batch)
     msg = msg * jax.nn.sigmoid(alpha)
     out = segment.masked_segment_sum(msg, dst, batch.edge_mask,
-                                     batch.num_nodes, sorted_ids=True)
+                                     batch.num_nodes, sorted_ids=True,
+                                     pallas_ok=batch.pallas_seg_ok)
     if ep_axis is not None:
         out = jax.lax.psum(out, ep_axis)
     out = nn.linear(p["lin_concate"], out)

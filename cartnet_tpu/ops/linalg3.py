@@ -42,17 +42,24 @@ def frobenius3(a):
 
 
 def assemble_cholesky_upper(diag, offdiag):
-    """Build upper-triangular L from head outputs; U = Lᵀ L is SPD.
+    """U = LᵀL for upper-triangular L, in closed form (SPD by construction).
 
     Mirrors the Cholesky head assembly (/root/reference/models/cartnet.py:296-303):
-    L[0,0],L[1,1],L[2,2]=softplus(diag); L[0,1],L[0,2],L[1,2]=offdiag.
+    L[0,0],L[1,1],L[2,2]=diag; L[0,1],L[0,2],L[1,2]=offdiag. Written as
+    elementwise products + stack — the naive .at[].set build lowers to TPU
+    scatters costing ~0.5 ms/step each way at bench shapes (xprof-verified).
     """
-    n = diag.shape[0]
-    L = jnp.zeros((n, 3, 3), diag.dtype)
-    L = L.at[:, 0, 0].set(diag[:, 0])
-    L = L.at[:, 1, 1].set(diag[:, 1])
-    L = L.at[:, 2, 2].set(diag[:, 2])
-    L = L.at[:, 0, 1].set(offdiag[:, 0])
-    L = L.at[:, 0, 2].set(offdiag[:, 1])
-    L = L.at[:, 1, 2].set(offdiag[:, 2])
-    return jnp.einsum("nji,njk->nik", L, L)  # LᵀL
+    d0, d1, d2 = diag[:, 0], diag[:, 1], diag[:, 2]
+    o01, o02, o12 = offdiag[:, 0], offdiag[:, 1], offdiag[:, 2]
+    u00 = d0 * d0
+    u01 = d0 * o01
+    u02 = d0 * o02
+    u11 = o01 * o01 + d1 * d1
+    u12 = o01 * o02 + d1 * o12
+    u22 = o02 * o02 + o12 * o12 + d2 * d2
+    rows = jnp.stack([
+        jnp.stack([u00, u01, u02], axis=-1),
+        jnp.stack([u01, u11, u12], axis=-1),
+        jnp.stack([u02, u12, u22], axis=-1),
+    ], axis=-2)
+    return rows

@@ -24,7 +24,14 @@ def segment_sum(values, segment_ids, num_segments: int, *, sorted_ids: bool = Fa
 
 
 def masked_segment_sum(values, segment_ids, mask, num_segments: int, *,
-                       sorted_ids: bool = False):
+                       sorted_ids: bool = False, pallas_ok: bool = False):
+    if pallas_ok and sorted_ids and values.ndim == 2:
+        from cartnet_tpu.ops.pallas.segment_kernels import (
+            masked_segment_sum_pallas, on_tpu, pallas_shapes_ok)
+        if on_tpu() and pallas_shapes_ok(values.shape[0], values.shape[1],
+                                         num_segments):
+            return masked_segment_sum_pallas(values, segment_ids, mask,
+                                             num_segments)
     m = mask.astype(values.dtype)
     m = m.reshape(m.shape + (1,) * (values.ndim - m.ndim))
     return segment_sum(values * m, segment_ids, num_segments, sorted_ids=sorted_ids)
@@ -44,3 +51,57 @@ def masked_segment_mean(values, segment_ids, mask, num_segments: int, *,
 def gather(values, idx):
     """Edge-endpoint feature gather: values [N, D], idx [E] -> [E, D]."""
     return jnp.take(values, idx, axis=0)
+
+
+import functools
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def gather_sorted_vjp(values, idx, perm, pallas_ok: bool = False):
+    """x[idx] whose VJP scatter-add runs as a SORTED segment-sum.
+
+    The transpose of a gather is a scatter-add, which XLA lowers to a slow
+    serial path on TPU when indices are unsorted (~23x slower than a sorted
+    segment reduction at bench shapes). ``perm`` must sort ``idx``
+    (idx[perm] ascending); the backward permutes cotangents first and then
+    reduces on the sorted fast path — via the Pallas window kernel when
+    ``pallas_ok`` (collate-verified span condition) and shapes allow.
+    Forward is identical to jnp.take. Pad-edge cotangents are exactly zero
+    (pads never reach an unmasked reduction), so pad ids need no masking.
+    """
+    return jnp.take(values, idx, axis=0)
+
+
+def _gsv_fwd(values, idx, perm, pallas_ok):
+    # NB: custom_vjp passes fwd the ORIGINAL positional signature (nondiff
+    # args stay in place); only bwd gets nondiff args as leading arguments.
+    return jnp.take(values, idx, axis=0), (idx, perm, values.shape[0])
+
+
+def _gsv_bwd(pallas_ok, res, ct):
+    import numpy as np  # only for float0 integer cotangents
+    idx, perm, n = res
+    if pallas_ok and ct.ndim == 2:
+        from cartnet_tpu.ops.pallas.segment_kernels import (
+            on_tpu, pallas_shapes_ok, segment_sum_sorted_window)
+        if on_tpu() and pallas_shapes_ok(ct.shape[0], ct.shape[1], n):
+            ct_values = segment_sum_sorted_window(
+                jnp.take(ct, perm, axis=0), jnp.take(idx, perm, axis=0), n)
+            return (ct_values, np.zeros(idx.shape, jax.dtypes.float0),
+                    np.zeros(perm.shape, jax.dtypes.float0))
+    ct_values = jax.ops.segment_sum(jnp.take(ct, perm, axis=0),
+                                    jnp.take(idx, perm, axis=0),
+                                    num_segments=n, indices_are_sorted=True)
+    return (ct_values, np.zeros(idx.shape, jax.dtypes.float0),
+            np.zeros(perm.shape, jax.dtypes.float0))
+
+
+gather_sorted_vjp.defvjp(_gsv_fwd, _gsv_bwd)
+
+
+def gather_edges(values, idx, perm=None, pallas_ok: bool = False):
+    """Gather with the fastest available backward: sorted-VJP if ``perm`` is
+    given (idx[perm] ascending), plain XLA gather/scatter otherwise."""
+    if perm is None:
+        return jnp.take(values, idx, axis=0)
+    return gather_sorted_vjp(values, idx, perm, pallas_ok)

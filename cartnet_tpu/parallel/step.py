@@ -38,7 +38,14 @@ EDGE_FIELDS = ("edge_src", "edge_dst", "cart_dir", "cart_dist", "edge_mask")
 
 
 def stack_for_shards(batches: List[CrystalBatch]) -> CrystalBatch:
-    """Concatenate per-dp-slice batches on axis 0, keeping LOCAL indices."""
+    """Concatenate per-dp-slice batches on axis 0, keeping LOCAL indices.
+
+    edge_src_perm is dropped: it permutes a full collated batch, which is
+    meaningless once the edge axis is re-split over ep shards — the layers
+    fall back to plain gathers inside shard_map.
+    """
+    batches = [b.replace(edge_src_perm=None, pallas_seg_ok=False)
+               for b in batches]
     return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *batches)
 
 

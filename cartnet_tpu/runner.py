@@ -40,6 +40,10 @@ def run(cfg: Config, args):
     import jax
     from cartnet_tpu.cli import load_datasets
 
+    # orbax/absl flood the root logger with INFO; quiet them for readability
+    for name in ("absl", "orbax", "orbax.checkpoint"):
+        logging.getLogger(name).setLevel(logging.WARNING)
+
     splits = load_datasets(cfg, limit=getattr(args, "limit", None))
     train_pipe, val_pipe, test_pipe = _pipelines(cfg, splits)
     model_init, model_apply = create_model(cfg.model)
@@ -54,9 +58,17 @@ def run(cfg: Config, args):
         logging.info("loaded checkpoint %s", args.checkpoint_path)
 
     if getattr(args, "inference", False):
+        # reference restriction: ADP-metric sweep needs 3x3 predictions
+        # (main.py:214 asserts dataset == ADP)
+        if not cfg.model.cholesky:
+            raise ValueError("--inference requires the Cholesky ADP head "
+                             "(--dataset ADP or --cholesky)")
         return inference(cfg, state, model_apply, test_pipe,
                          args.inference_output)
     if getattr(args, "montecarlo", False):
+        if not cfg.model.cholesky:
+            raise ValueError("--montecarlo requires the Cholesky ADP head "
+                             "(--dataset ADP or --cholesky)")
         return montecarlo(cfg, state, model_apply, test_pipe,
                           args.inference_output)
     return train(cfg, state, model_apply, optimizer,
@@ -72,11 +84,14 @@ def train(cfg: Config, state, model_apply, optimizer, pipes, resume=False,
     import jax
     from cartnet_tpu.train.loop import eval_epoch, train_epoch
 
+    from cartnet_tpu.train.loop import build_lr_fn
+
     train_pipe, val_pipe, test_pipe = pipes
     loggers = create_loggers(cfg.run_dir)
     wb = WandbLogger(wandb_project, wandb_entity, cfg.name, cfg,
                      enabled=wandb_enabled)
     micro, update, evals = make_steps(cfg, model_apply, optimizer)
+    lr_fn = build_lr_fn(cfg, len(train_pipe))
     ckpt_dir = os.path.join(cfg.run_dir, "ckpt")
     best_dir = os.path.join(ckpt_dir, "best")
     last_dir = os.path.join(ckpt_dir, "last")
@@ -95,7 +110,7 @@ def train(cfg: Config, state, model_apply, optimizer, pipes, resume=False,
     for epoch in range(start_epoch, cfg.optim.max_epoch):
         t0 = time.perf_counter()
         state = train_epoch(state, train_pipe, micro, update,
-                            cfg.optim.batch_accumulation, loggers[0])
+                            cfg.optim.batch_accumulation, loggers[0], lr_fn)
         perf["train"].append(loggers[0].write_epoch(epoch))
         eval_epoch(state, val_pipe, evals, loggers[1])
         perf["val"].append(loggers[1].write_epoch(epoch))
@@ -123,10 +138,9 @@ def train(cfg: Config, state, model_apply, optimizer, pipes, resume=False,
     if ckpt.latest_step(best_dir) is not None:
         state, _ = ckpt.restore_checkpoint(best_dir, state)
     eval_epoch(state, test_pipe, evals, loggers[2])
-    test_stats = loggers[2].write_epoch(best_epoch)
+    test_stats = loggers[2].write_epoch(best_epoch)  # logs itself
     wb.log({f"test/{k}": v for k, v in test_stats.items()})
     wb.finish()
-    logging.info("test: %s", test_stats)
     return state, test_stats
 
 

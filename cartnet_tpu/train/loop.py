@@ -86,18 +86,17 @@ def make_steps(cfg: Config, model_apply, optimizer):
 
 def train_epoch(state: TrainState, batches: Iterable[CrystalBatch], micro_step,
                 update_step, batch_accumulation: int, logger=None,
-                batch_weights: Optional[Iterable[float]] = None):
+                lr_fn: Optional[Callable] = None):
     """One epoch; steps optimizer every N micro-batches and at epoch end."""
-    n = 0
     for i, batch in enumerate(batches):
         t0 = time.time()
         state, stats = micro_step(state, batch)
-        n += 1
         if (i + 1) % batch_accumulation == 0:
             state = update_step(state)
         if logger is not None:
             w = float(jnp.sum(batch.graph_mask))
-            logger.update(stats, weight=w, time_used=time.time() - t0)
+            lr = float(lr_fn(int(state.step))) if lr_fn is not None else 0.0
+            logger.update(stats, weight=w, time_used=time.time() - t0, lr=lr)
     if int(state.accum_count) > 0:  # epoch-end flush (train/train.py:186)
         state = update_step(state)
     return state
@@ -105,13 +104,17 @@ def train_epoch(state: TrainState, batches: Iterable[CrystalBatch], micro_step,
 
 def eval_epoch(state: TrainState, batches: Iterable[CrystalBatch], eval_step,
                logger=None, collect=False):
+    """Eval pass; feeds masked pred/true to the logger for r2/spearman
+    (reference logger/logger.py:51-58)."""
     preds = []
     for batch in batches:
         t0 = time.time()
         pred, mask, stats = eval_step(state.params, state.bn_state, batch)
         if logger is not None:
             w = float(jnp.sum(batch.graph_mask))
-            logger.update(stats, weight=w, time_used=time.time() - t0)
+            m = jnp.asarray(mask)
+            logger.update(stats, weight=w, time_used=time.time() - t0,
+                          true=jnp.asarray(batch.y)[m], pred=jnp.asarray(pred)[m])
         if collect:
             preds.append((pred, mask, batch))
     return preds
@@ -124,3 +127,11 @@ def build_optimizer(cfg: Config, steps_per_epoch: int):
                           cfg.optim.div_factor, cfg.optim.final_div_factor,
                           cfg.optim.cycle_momentum, cfg.optim.base_momentum,
                           cfg.optim.max_momentum, cfg.optim.grad_clip)
+
+
+def build_lr_fn(cfg: Config, steps_per_epoch: int) -> Callable:
+    from cartnet_tpu.train.schedule import onecycle_lr
+    total = reference_total_steps(cfg.optim.max_epoch, steps_per_epoch,
+                                  cfg.optim.batch_accumulation)
+    return onecycle_lr(cfg.optim.lr, total, cfg.optim.warmup,
+                       cfg.optim.div_factor, cfg.optim.final_div_factor)
