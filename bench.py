@@ -55,23 +55,24 @@ def main():
 
     opt = build_optimizer(cfg, 100)
     state = init_train_state(jax.random.key(0), cfg, cartnet_init, opt)
-    micro, update, _ = make_steps(cfg, cartnet_apply, opt)
 
-    # warmup / compile
-    for b in batches:
-        state, _ = micro(state, b)
-        state = update(state)
+    # K train steps fused into one lax.scan launch: measures pure chip time
+    # (per-dispatch tunnel latency here is ~10x the actual step time)
+    from cartnet_tpu.train.loop import make_fused_steps, stack_batches
+    iters = 32
+    stacked = stack_batches([batches[i % 2] for i in range(iters)])
+    fused = make_fused_steps(cfg, cartnet_apply, opt, iters)
+
+    state, _ = fused(state, stacked)  # compile + warmup
     jax.block_until_ready(state.params)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state, _ = fused(state, stacked)
+        jax.block_until_ready(state.params)
+        best = min(best, time.perf_counter() - t0)
 
-    iters = 50
-    t0 = time.perf_counter()
-    for i in range(iters):
-        state, _ = micro(state, batches[i % 2])
-        state = update(state)
-    jax.block_until_ready(state.params)
-    dt = time.perf_counter() - t0
-
-    edges_per_sec = real_edges * iters / dt
+    edges_per_sec = real_edges * iters / best
 
     # roofline: per layer fwd = 2 edge GEMM pairs (d->d twice per MLP, merged
     # first layer counted as 2x [E,d]x[d,d]) + node projections; bwd ~ 2x fwd.

@@ -241,6 +241,12 @@ def cartnet_apply(params, state, batch: CrystalBatch, cfg: ModelConfig,
         pred_mask: [N] non-H real-node mask, or [G] graph mask.
         new_state: updated BN running stats (== state when training=False).
     """
+    if cfg.compute_dtype != cfg.param_dtype:
+        # true low-precision compute: cast params once (XLA fuses the casts);
+        # BN statistics and the loss stay f32 (see nn/norm.py, train/metrics.py)
+        params = jax.tree.map(
+            lambda a: a.astype(cfg.compute_dtype)
+            if a.dtype == cfg.param_dtype else a, params)
     x, e = encoder_apply(params["encoder"], batch, cfg)
     envelope = (rbf_ops.cosine_cutoff(batch.cart_dist.astype(x.dtype),
                                       cfg.radius) if cfg.use_envelope else None)

@@ -47,21 +47,23 @@ def masked_batch_norm(params, state, x, mask, *, training: bool,
         y = (x - state["mean"]) * inv * params["gamma"] + params["beta"]
         return y, state
 
-    m = mask.astype(x.dtype)[:, None]
+    # batch moments always in f32 (bf16 sums over 10^4+ elements lose bits)
+    xf = x.astype(jnp.float32)
+    m = mask.astype(jnp.float32)[:, None]
     n = jnp.sum(m)
-    s1 = jnp.sum(x * m, axis=0)
+    s1 = jnp.sum(xf * m, axis=0)
     if axis_names:
         n = jax.lax.psum(n, axis_names)
         s1 = jax.lax.psum(s1, axis_names)
     n = jnp.maximum(n, 1.0)
     mean = s1 / n
-    diff = (x - mean) * m
+    diff = (xf - mean) * m
     s2 = jnp.sum(diff * diff, axis=0)
     if axis_names:
         s2 = jax.lax.psum(s2, axis_names)
     var = s2 / n  # biased, used for normalization
     inv = jnp.reciprocal(jnp.sqrt(var + eps))
-    y = (x - mean) * inv * params["gamma"] + params["beta"]
+    y = ((xf - mean) * inv).astype(x.dtype) * params["gamma"] + params["beta"]
 
     unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))
     new_state = {

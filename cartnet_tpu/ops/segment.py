@@ -49,8 +49,12 @@ def masked_segment_mean(values, segment_ids, mask, num_segments: int, *,
 
 
 def gather(values, idx):
-    """Edge-endpoint feature gather: values [N, D], idx [E] -> [E, D]."""
-    return jnp.take(values, idx, axis=0)
+    """Edge-endpoint feature gather: values [N, D], idx [E] -> [E, D].
+
+    Indices are collate-guaranteed in range; promise_in_bounds skips the
+    clamp select XLA otherwise materializes (~0.4 ms/step at bench shapes).
+    """
+    return values.at[idx].get(mode="promise_in_bounds")
 
 
 import functools
@@ -69,13 +73,14 @@ def gather_sorted_vjp(values, idx, perm, pallas_ok: bool = False):
     Forward is identical to jnp.take. Pad-edge cotangents are exactly zero
     (pads never reach an unmasked reduction), so pad ids need no masking.
     """
-    return jnp.take(values, idx, axis=0)
+    return values.at[idx].get(mode="promise_in_bounds")
 
 
 def _gsv_fwd(values, idx, perm, pallas_ok):
     # NB: custom_vjp passes fwd the ORIGINAL positional signature (nondiff
     # args stay in place); only bwd gets nondiff args as leading arguments.
-    return jnp.take(values, idx, axis=0), (idx, perm, values.shape[0])
+    return (values.at[idx].get(mode="promise_in_bounds"),
+            (idx, perm, values.shape[0]))
 
 
 def _gsv_bwd(pallas_ok, res, ct):
@@ -86,12 +91,14 @@ def _gsv_bwd(pallas_ok, res, ct):
             on_tpu, pallas_shapes_ok, segment_sum_sorted_window)
         if on_tpu() and pallas_shapes_ok(ct.shape[0], ct.shape[1], n):
             ct_values = segment_sum_sorted_window(
-                jnp.take(ct, perm, axis=0), jnp.take(idx, perm, axis=0), n)
+                ct.at[perm].get(mode="promise_in_bounds"),
+                idx.at[perm].get(mode="promise_in_bounds"), n)
             return (ct_values, np.zeros(idx.shape, jax.dtypes.float0),
                     np.zeros(perm.shape, jax.dtypes.float0))
-    ct_values = jax.ops.segment_sum(jnp.take(ct, perm, axis=0),
-                                    jnp.take(idx, perm, axis=0),
-                                    num_segments=n, indices_are_sorted=True)
+    ct_values = jax.ops.segment_sum(
+        ct.at[perm].get(mode="promise_in_bounds"),
+        idx.at[perm].get(mode="promise_in_bounds"),
+        num_segments=n, indices_are_sorted=True)
     return (ct_values, np.zeros(idx.shape, jax.dtypes.float0),
             np.zeros(perm.shape, jax.dtypes.float0))
 
@@ -103,5 +110,5 @@ def gather_edges(values, idx, perm=None, pallas_ok: bool = False):
     """Gather with the fastest available backward: sorted-VJP if ``perm`` is
     given (idx[perm] ascending), plain XLA gather/scatter otherwise."""
     if perm is None:
-        return jnp.take(values, idx, axis=0)
+        return jnp.take(values, idx, axis=0)  # shard_map path: keep clamp
     return gather_sorted_vjp(values, idx, perm, pallas_ok)

@@ -25,6 +25,36 @@ from cartnet_tpu.train.loop import (build_optimizer, init_train_state,
                                     make_steps)
 
 
+class ShardedPipeline:
+    """Groups ``dp`` consecutive pipeline batches into one stacked super-batch
+    for the shard_map step (each dp slice keeps LOCAL node indices)."""
+
+    def __init__(self, pipe, dp: int):
+        self.pipe = pipe
+        self.dp = dp
+
+    def __len__(self):
+        return -(-len(self.pipe) // self.dp)
+
+    def __iter__(self):
+        import jax
+        import jax.numpy as jnp
+        from cartnet_tpu.parallel.step import stack_for_shards
+        group = []
+        for b in self.pipe:
+            group.append(b)
+            if len(group) == self.dp:
+                yield stack_for_shards(group)
+                group = []
+        if group:
+            # ragged tail: fill with fully-masked dummy slices (zero masks ->
+            # zero loss/BN/grad contributions under the psum'd reductions)
+            dummy = jax.tree.map(jnp.zeros_like, group[-1])
+            dummy = dummy.replace(pallas_seg_ok=group[-1].pallas_seg_ok)
+            group += [dummy] * (self.dp - len(group))
+            yield stack_for_shards(group)
+
+
 def _pipelines(cfg: Config, splits):
     train, val, test = splits
     mn, me = choose_pad_sizes(train + val + test, cfg.data.batch_size)
@@ -90,7 +120,19 @@ def train(cfg: Config, state, model_apply, optimizer, pipes, resume=False,
     loggers = create_loggers(cfg.run_dir)
     wb = WandbLogger(wandb_project, wandb_entity, cfg.name, cfg,
                      enabled=wandb_enabled)
-    micro, update, evals = make_steps(cfg, model_apply, optimizer)
+    dp, ep = cfg.parallel.dp, cfg.parallel.ep
+    if dp * ep > 1:
+        from cartnet_tpu.parallel.mesh import make_mesh
+        from cartnet_tpu.parallel.step import make_parallel_steps
+        mesh = make_mesh(dp, ep)
+        micro, update, evals = make_parallel_steps(cfg, model_apply, optimizer,
+                                                   mesh)
+        train_pipe = ShardedPipeline(train_pipe, dp)
+        val_pipe = ShardedPipeline(val_pipe, dp)
+        test_pipe = ShardedPipeline(test_pipe, dp)
+        logging.info("mesh: dp=%d x ep=%d over %d devices", dp, ep, dp * ep)
+    else:
+        micro, update, evals = make_steps(cfg, model_apply, optimizer)
     lr_fn = build_lr_fn(cfg, len(train_pipe))
     ckpt_dir = os.path.join(cfg.run_dir, "ckpt")
     best_dir = os.path.join(ckpt_dir, "best")

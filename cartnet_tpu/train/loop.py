@@ -120,6 +120,41 @@ def eval_epoch(state: TrainState, batches: Iterable[CrystalBatch], eval_step,
     return preds
 
 
+def make_fused_steps(cfg: Config, model_apply, optimizer, num_steps: int):
+    """One jitted function executing ``num_steps`` micro+update train steps
+    via lax.scan over a stacked batch pytree ([K, ...] leaves).
+
+    Removes ALL host/dispatch latency from the inner loop — one launch per K
+    steps. Use for throughput-critical training (and benchmarking: through a
+    remote-tunnel runtime, per-call dispatch costs can exceed the actual chip
+    time by an order of magnitude). Applies the optimizer every micro step
+    (batch_accumulation=1 semantics).
+    """
+    import jax.lax as lax
+
+    def one(state: TrainState, batch: CrystalBatch):
+        (loss, (mae, mse, new_bn)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.bn_state, batch,
+                                   model_apply, cfg, True)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        state = state.replace(params=params, bn_state=new_bn,
+                              opt_state=opt_state, step=state.step + 1)
+        return state, {"loss": loss, "MAE": mae}
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def fused(state: TrainState, stacked_batches: CrystalBatch):
+        return lax.scan(one, state, stacked_batches, length=num_steps)
+
+    return fused
+
+
+def stack_batches(batches):
+    """Stack a list of same-shape batches into a [K, ...] pytree for scan."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *batches)
+
+
 def build_optimizer(cfg: Config, steps_per_epoch: int):
     total = reference_total_steps(cfg.optim.max_epoch, steps_per_epoch,
                                   cfg.optim.batch_accumulation)

@@ -30,9 +30,9 @@ def masked_mae_mse(pred, true, mask):
     Equivalent to the reference's l1_loss/mse_loss over the real (unpadded)
     selection (train/metrics.py:26-28).
     """
-    m = mask.astype(pred.dtype)
+    m = mask.astype(jnp.float32)
     m = m.reshape(m.shape + (1,) * (pred.ndim - m.ndim))
-    diff = (pred - true) * m
+    diff = (pred.astype(jnp.float32) - true.astype(jnp.float32)) * m
     count = jnp.maximum(jnp.sum(m) * math.prod(pred.shape[mask.ndim:]), 1.0)
     mae = jnp.sum(jnp.abs(diff)) / count
     mse = jnp.sum(diff * diff) / count

@@ -1,0 +1,37 @@
+"""End-to-end runner tests through the CLI entry (CPU, tiny configs)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+
+def _run(tmp_path, extra, name):
+    from cartnet_tpu.cli import main
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        main(["--cpu", "--dataset", "synthetic", "--model", "CartNet",
+              "--dim_in", "16", "--dim_rbf", "8", "--num_layers", "1",
+              "--epochs", "1", "--batch", "2", "--limit", "8",
+              "--name", name, "--seed", "0"] + extra)
+    finally:
+        os.chdir(cwd)
+    stats_path = tmp_path / "results" / name / "0" / "test" / "stats.json"
+    assert stats_path.exists()
+    with open(stats_path) as f:
+        return json.loads(f.read().splitlines()[-1])
+
+
+def test_cli_single_device(tmp_path):
+    stats = _run(tmp_path, [], "e2e_single")
+    assert np.isfinite(stats["MAE"])
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_cli_parallel_mesh(tmp_path):
+    stats = _run(tmp_path, ["--dp", "2", "--ep", "4"], "e2e_mesh")
+    assert np.isfinite(stats["MAE"])

@@ -114,3 +114,57 @@ def test_checkpoint_roundtrip(tmp_path):
     s1, st1 = micro(s1, batches[0])
     s2, st2 = micro(s2, batches[0])
     np.testing.assert_allclose(float(st1["loss"]), float(st2["loss"]), rtol=1e-6)
+
+
+def test_fused_scan_steps_match_sequential():
+    """K fused lax.scan train steps == K sequential micro+update steps."""
+    from cartnet_tpu.train.loop import make_fused_steps, stack_batches
+    cfg = _tiny_cfg().replace(optim=OptimConfig(lr=1e-3, max_epoch=3,
+                                                batch_accumulation=1))
+    batches = _tiny_batches(cfg, n_batches=4)
+    opt = build_optimizer(cfg, len(batches))
+
+    s_seq = init_train_state(jax.random.key(0), cfg, cartnet_init, opt)
+    micro, update, _ = make_steps(cfg, cartnet_apply, opt)
+    for b in batches:
+        s_seq, _ = micro(s_seq, b)
+        s_seq = update(s_seq)
+
+    s_fused = init_train_state(jax.random.key(0), cfg, cartnet_init, opt)
+    fused = make_fused_steps(cfg, cartnet_apply, opt, len(batches))
+    s_fused, stats = fused(s_fused, stack_batches(batches))
+
+    assert int(s_fused.step) == int(s_seq.step) == len(batches)
+    # scan vs unrolled reorders float reductions; Adam normalizes by |g| so
+    # the noise lands at the lr-scale of the updates — bound by a fraction of
+    # the total update magnitude (4 steps x lr 1e-3)
+    for a, b in zip(jax.tree.leaves(s_seq.params),
+                    jax.tree.leaves(s_fused.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-2,
+                                   atol=5e-4)
+    for a, b in zip(jax.tree.leaves(s_seq.bn_state),
+                    jax.tree.leaves(s_fused.bn_state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-2,
+                                   atol=1e-4)
+    assert stats["loss"].shape == (len(batches),)
+
+
+def test_bf16_compute_trains_and_reduces_loss():
+    import jax.numpy as jnp
+    from cartnet_tpu.config import ModelConfig
+    cfg = _tiny_cfg()
+    cfg = cfg.replace(model=ModelConfig(dim_in=32, dim_rbf=8, num_layers=2,
+                                        cholesky=False,
+                                        compute_dtype=jnp.bfloat16))
+    batches = _tiny_batches(cfg)
+    opt = build_optimizer(cfg, len(batches))
+    state = init_train_state(jax.random.key(0), cfg, cartnet_init, opt)
+    micro, update, evals = make_steps(cfg, cartnet_apply, opt)
+    _, _, s0 = evals(state.params, state.bn_state, batches[0])
+    before = float(s0["loss"])
+    for _ in range(3):
+        state = train_epoch(state, batches, micro, update, 1)
+    _, _, s1 = evals(state.params, state.bn_state, batches[0])
+    after = float(s1["loss"])
+    assert np.isfinite(after)
+    assert after < before, (before, after)
