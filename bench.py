@@ -42,7 +42,7 @@ def main():
     max_nodes, max_edges = choose_pad_sizes(recs, graphs)
     cfg = Config(
         model=ModelConfig(dim_in=dim, dim_rbf=64, num_layers=layers,
-                          cholesky=True),
+                          cholesky=True, compute_dtype=jnp.bfloat16),
         data=DataConfig(max_nodes=max_nodes, max_edges=max_edges,
                         max_graphs=graphs),
         optim=OptimConfig(lr=1e-3, batch_accumulation=1))
