@@ -68,6 +68,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cholesky", action="store_true",
                    help="force the Cholesky ADP head (e.g. synthetic ADP runs; "
                         "implied by --dataset ADP)")
+    p.add_argument("--profile", action="store_true",
+                   help="capture a jax.profiler trace of the first train "
+                        "epoch to <run_dir>/profile (view with xprof/"
+                        "tensorboard)")
     return p
 
 

@@ -106,11 +106,13 @@ def run(cfg: Config, args):
                  resume=getattr(args, "resume", False),
                  wandb_enabled=getattr(args, "wandb", False),
                  wandb_project=getattr(args, "wandb_project", ""),
-                 wandb_entity=getattr(args, "wandb_entity", ""))
+                 wandb_entity=getattr(args, "wandb_entity", ""),
+                 profile=getattr(args, "profile", False))
 
 
 def train(cfg: Config, state, model_apply, optimizer, pipes, resume=False,
-          wandb_enabled=False, wandb_project="", wandb_entity=""):
+          wandb_enabled=False, wandb_project="", wandb_entity="",
+          profile=False):
     import jax
     from cartnet_tpu.train.loop import eval_epoch, train_epoch
 
@@ -151,8 +153,20 @@ def train(cfg: Config, state, model_apply, optimizer, pipes, resume=False,
     epoch_times = []
     for epoch in range(start_epoch, cfg.optim.max_epoch):
         t0 = time.perf_counter()
-        state = train_epoch(state, train_pipe, micro, update,
-                            cfg.optim.batch_accumulation, loggers[0], lr_fn)
+        if profile and epoch == start_epoch:
+            # device+host trace of the first epoch (compile excluded for
+            # steady-state epochs; the first epoch trace shows compilation
+            # too, which is itself useful through the remote tunnel)
+            import jax
+            trace_dir = os.path.join(cfg.run_dir, "profile")
+            with jax.profiler.trace(trace_dir):
+                state = train_epoch(state, train_pipe, micro, update,
+                                    cfg.optim.batch_accumulation, loggers[0],
+                                    lr_fn)
+            logging.info("profiler trace written to %s", trace_dir)
+        else:
+            state = train_epoch(state, train_pipe, micro, update,
+                                cfg.optim.batch_accumulation, loggers[0], lr_fn)
         perf["train"].append(loggers[0].write_epoch(epoch))
         eval_epoch(state, val_pipe, evals, loggers[1])
         perf["val"].append(loggers[1].write_epoch(epoch))

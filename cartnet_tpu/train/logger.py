@@ -56,17 +56,21 @@ class EpochLogger:
         self._sums: Dict[str, float] = {}
         self._lr = 0.0
         self._time_used = 0.0
+        self._iters = 0
+        self._edges = 0.0
         self._true: List[np.ndarray] = []
         self._pred: List[np.ndarray] = []
 
     def update(self, stats: Dict, weight: float = 1.0, time_used: float = 0.0,
-               lr: float = 0.0, true=None, pred=None):
+               lr: float = 0.0, true=None, pred=None, edges: float = 0.0):
         self._size += weight
         for k, v in stats.items():
             self._sums[k] = self._sums.get(k, 0.0) + float(v) * weight
         self._lr = lr
         self._time_used += time_used
         self._time_total += time_used
+        self._iters += 1
+        self._edges += edges
         if true is not None:
             self._true.append(np.asarray(true).ravel())
         if pred is not None:
@@ -76,8 +80,14 @@ class EpochLogger:
         size = max(self._size, 1.0)
         stats = {"epoch": epoch,
                  "time_epoch": round(self._time_used, 5),
+                 "time_iter": round(self._time_used / max(self._iters, 1), 6),
                  "lr": self._lr,
                  **{k: v / size for k, v in self._sums.items()}}
+        if self._edges > 0 and self._time_used > 0:
+            # per-step throughput counter (SURVEY.md §5: the TPU-build
+            # observability analogue of the reference's time_iter,
+            # logger/logger.py:43,108-111) — real (unpadded) edges only
+            stats["edges_per_sec"] = round(self._edges / self._time_used, 1)
         if self._true and self._pred:
             t = np.concatenate(self._true)
             p = np.concatenate(self._pred)

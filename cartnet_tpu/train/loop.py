@@ -96,7 +96,8 @@ def train_epoch(state: TrainState, batches: Iterable[CrystalBatch], micro_step,
         if logger is not None:
             w = float(jnp.sum(batch.graph_mask))
             lr = float(lr_fn(int(state.step))) if lr_fn is not None else 0.0
-            logger.update(stats, weight=w, time_used=time.time() - t0, lr=lr)
+            logger.update(stats, weight=w, time_used=time.time() - t0, lr=lr,
+                          edges=float(jnp.sum(batch.edge_mask)))
     if int(state.accum_count) > 0:  # epoch-end flush (train/train.py:186)
         state = update_step(state)
     return state
@@ -114,7 +115,8 @@ def eval_epoch(state: TrainState, batches: Iterable[CrystalBatch], eval_step,
             w = float(jnp.sum(batch.graph_mask))
             m = jnp.asarray(mask)
             logger.update(stats, weight=w, time_used=time.time() - t0,
-                          true=jnp.asarray(batch.y)[m], pred=jnp.asarray(pred)[m])
+                          true=jnp.asarray(batch.y)[m], pred=jnp.asarray(pred)[m],
+                          edges=float(jnp.sum(batch.edge_mask)))
         if collect:
             preds.append((pred, mask, batch))
     return preds

@@ -35,3 +35,12 @@ def test_cli_single_device(tmp_path):
 def test_cli_parallel_mesh(tmp_path):
     stats = _run(tmp_path, ["--dp", "2", "--ep", "4"], "e2e_mesh")
     assert np.isfinite(stats["MAE"])
+
+
+def test_cli_profile_and_throughput(tmp_path):
+    """--profile writes a jax.profiler trace; stats carry edges/sec counters."""
+    stats = _run(tmp_path, ["--profile"], "e2e_prof")
+    assert stats["edges_per_sec"] > 0
+    assert stats["time_iter"] > 0
+    prof_dir = tmp_path / "results" / "e2e_prof" / "0" / "profile"
+    assert prof_dir.is_dir() and any(prof_dir.rglob("*"))
