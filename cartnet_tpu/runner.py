@@ -84,7 +84,15 @@ def run(cfg: Config, args):
     logging.info("model %s: %.3fM params", cfg.model.name, n_params / 1e6)
 
     if args.checkpoint_path:
-        state, _ = ckpt.restore_checkpoint(args.checkpoint_path, state)
+        if os.path.isfile(args.checkpoint_path):
+            # a FILE is a reference-format torch checkpoint (best.ckpt /
+            # state_dict .pt); orbax checkpoints are directories
+            from cartnet_tpu.interop import load_torch_checkpoint
+            params, bn_state = load_torch_checkpoint(args.checkpoint_path,
+                                                     cfg.model)
+            state = state.replace(params=params, bn_state=bn_state)
+        else:
+            state, _ = ckpt.restore_checkpoint(args.checkpoint_path, state)
         logging.info("loaded checkpoint %s", args.checkpoint_path)
 
     if getattr(args, "inference", False):
