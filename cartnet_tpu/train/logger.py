@@ -53,7 +53,7 @@ class EpochLogger:
 
     def reset(self):
         self._size = 0.0
-        self._sums: Dict[str, float] = {}
+        self._pending: List = []  # (stats, weight) — possibly device scalars
         self._lr = 0.0
         self._time_used = 0.0
         self._iters = 0
@@ -63,9 +63,12 @@ class EpochLogger:
 
     def update(self, stats: Dict, weight: float = 1.0, time_used: float = 0.0,
                lr: float = 0.0, true=None, pred=None, edges: float = 0.0):
+        # stats values may be device arrays; they are NOT materialized here —
+        # a float() per batch would block dispatch and serialize the device
+        # pipeline (through a remote-tunnel runtime each sync costs ~ms).
+        # Resolution happens once per epoch in write_epoch.
         self._size += weight
-        for k, v in stats.items():
-            self._sums[k] = self._sums.get(k, 0.0) + float(v) * weight
+        self._pending.append((stats, weight))
         self._lr = lr
         self._time_used += time_used
         self._time_total += time_used
@@ -76,8 +79,18 @@ class EpochLogger:
         if pred is not None:
             self._pred.append(np.asarray(pred).ravel())
 
+    def note_time(self, seconds: float):
+        """Add wall time measured outside per-iter update calls (the async
+        train loop times the whole epoch with one device sync at the end)."""
+        self._time_used += seconds
+        self._time_total += seconds
+
     def write_epoch(self, epoch: int) -> Dict:
         size = max(self._size, 1.0)
+        self._sums: Dict[str, float] = {}
+        for stats, weight in self._pending:
+            for k, v in stats.items():
+                self._sums[k] = self._sums.get(k, 0.0) + float(v) * weight
         stats = {"epoch": epoch,
                  "time_epoch": round(self._time_used, 5),
                  "time_iter": round(self._time_used / max(self._iters, 1), 6),

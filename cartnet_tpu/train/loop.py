@@ -87,19 +87,41 @@ def make_steps(cfg: Config, model_apply, optimizer):
 def train_epoch(state: TrainState, batches: Iterable[CrystalBatch], micro_step,
                 update_step, batch_accumulation: int, logger=None,
                 lr_fn: Optional[Callable] = None):
-    """One epoch; steps optimizer every N micro-batches and at epoch end."""
+    """One epoch; steps optimizer every N micro-batches and at epoch end.
+
+    Fully async on the device side: no per-batch host<->device syncs (batch
+    weights come from the host-resident masks, the optimizer-step count is
+    tracked host-side for the LR readout, and stats stay device scalars until
+    the logger's epoch write). One sync at epoch end closes the timing.
+    """
+    import numpy as np
+    t_epoch = time.time()
+    micro_count = 0
+    opt_steps_before = None
+    opt_steps = 0
     for i, batch in enumerate(batches):
-        t0 = time.time()
         state, stats = micro_step(state, batch)
+        micro_count += 1
         if (i + 1) % batch_accumulation == 0:
             state = update_step(state)
+            opt_steps += 1
         if logger is not None:
-            w = float(jnp.sum(batch.graph_mask))
-            lr = float(lr_fn(int(state.step))) if lr_fn is not None else 0.0
-            logger.update(stats, weight=w, time_used=time.time() - t0, lr=lr,
-                          edges=float(jnp.sum(batch.edge_mask)))
-    if int(state.accum_count) > 0:  # epoch-end flush (train/train.py:186)
+            if opt_steps_before is None:
+                # one-time sync: resume-aware base for the host step counter
+                opt_steps_before = int(state.step) - opt_steps
+            lr = (float(lr_fn(opt_steps_before + opt_steps))
+                  if lr_fn is not None else 0.0)
+            logger.update(stats, weight=float(np.sum(np.asarray(batch.graph_mask))),
+                          lr=lr,
+                          edges=float(np.sum(np.asarray(batch.edge_mask))))
+    if micro_count % batch_accumulation != 0:  # epoch-end flush (train/train.py:186)
         state = update_step(state)
+    jax.block_until_ready(state.params)
+    # remote-tunnel runtimes may not block without a prior d2h transfer;
+    # a scalar pull guarantees the epoch is really finished before timing
+    np.asarray(state.step)
+    if logger is not None:
+        logger.note_time(time.time() - t_epoch)
     return state
 
 
