@@ -128,19 +128,30 @@ def train_epoch(state: TrainState, batches: Iterable[CrystalBatch], micro_step,
 def eval_epoch(state: TrainState, batches: Iterable[CrystalBatch], eval_step,
                logger=None, collect=False):
     """Eval pass; feeds masked pred/true to the logger for r2/spearman
-    (reference logger/logger.py:51-58)."""
+    (reference logger/logger.py:51-58).
+
+    All steps are dispatched first; device->host transfers of predictions
+    happen in one pass afterwards so they overlap the remaining compute
+    instead of blocking each batch.
+    """
+    import numpy as np
     preds = []
+    pending = []
+    t0 = time.time()
     for batch in batches:
-        t0 = time.time()
         pred, mask, stats = eval_step(state.params, state.bn_state, batch)
         if logger is not None:
-            w = float(jnp.sum(batch.graph_mask))
-            m = jnp.asarray(mask)
-            logger.update(stats, weight=w, time_used=time.time() - t0,
-                          true=jnp.asarray(batch.y)[m], pred=jnp.asarray(pred)[m],
-                          edges=float(jnp.sum(batch.edge_mask)))
+            pending.append((stats, float(np.sum(np.asarray(batch.graph_mask))),
+                            pred, mask, batch.y,
+                            float(np.sum(np.asarray(batch.edge_mask)))))
         if collect:
             preds.append((pred, mask, batch))
+    for stats, w, pred, mask, y, edges in pending:
+        m = np.asarray(mask)
+        logger.update(stats, weight=w, true=np.asarray(y)[m],
+                      pred=np.asarray(pred)[m], edges=edges)
+    if logger is not None:
+        logger.note_time(time.time() - t0)
     return preds
 
 
