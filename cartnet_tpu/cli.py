@@ -129,10 +129,12 @@ def load_datasets(cfg: Config, limit=None) -> Tuple[List[dict], List[dict], List
         root = os.path.join(cfg.data.path, "data")
         sets = []
         for split in ("train", "val", "test"):
+            # augment=False here: SO(3) augmentation is applied per-epoch by
+            # BatchPipeline (runner._pipelines), not baked in at load time
             ds = ADPDataset(root, os.path.join(csvdir, f"{split}_files.csv"),
                             standarize_temp=cfg.data.standarize_temp,
                             hydrogens=cfg.data.use_hydrogens,
-                            augment=(split == "train" and cfg.data.augment),
+                            augment=False,
                             optimize_cell=cfg.data.optimize_cell)
             rng = np.random.default_rng(cfg.seed)
             n = len(ds) if limit is None else min(limit, len(ds))

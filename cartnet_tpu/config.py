@@ -33,6 +33,9 @@ class ModelConfig:
     compute_dtype: jnp.dtype = jnp.float32  # set bfloat16 for TPU speed runs
     bn_momentum: float = 0.1  # PyTorch BatchNorm1d default
     bn_eps: float = 1e-5
+    # rematerialize each message-passing layer in the backward pass: trades
+    # recompute FLOPs for HBM traffic/memory of the [E, 2d] edge intermediates
+    remat: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -251,10 +251,16 @@ def cartnet_apply(params, state, batch: CrystalBatch, cfg: ModelConfig,
     envelope = (rbf_ops.cosine_cutoff(batch.cart_dist.astype(x.dtype),
                                       cfg.radius) if cfg.use_envelope else None)
     new_state = {}
+    layer_fn = lambda p, s, x, e, env: layer_apply(
+        p, s, x, e, batch, cfg, training, ep_axis,
+        edge_stat_axes, node_stat_axes, env)
+    if cfg.remat:
+        # recompute the [E, *] edge intermediates in backward instead of
+        # saving them — the step is HBM-bound, not FLOP-bound (bench note)
+        layer_fn = jax.checkpoint(layer_fn)
     for i in range(cfg.num_layers):
-        x, e, ls = layer_apply(params[f"layer{i}"], state[f"layer{i}"], x, e,
-                               batch, cfg, training, ep_axis,
-                               edge_stat_axes, node_stat_axes, envelope)
+        x, e, ls = layer_fn(params[f"layer{i}"], state[f"layer{i}"], x, e,
+                            envelope)
         new_state[f"layer{i}"] = ls
     if cfg.cholesky:
         pred = cholesky_head_apply(params["head"], x)

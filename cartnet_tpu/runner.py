@@ -25,6 +25,15 @@ from cartnet_tpu.train.loop import (build_optimizer, init_train_state,
                                     make_steps)
 
 
+def sharded_steps_per_epoch(unsharded_len: int, dp: int) -> int:
+    """Optimizer steps per epoch once dp batches are grouped per super-step.
+
+    Must match len(ShardedPipeline(pipe, dp)) — the OneCycle schedule is built
+    from this count (reference step accounting: train/train.py:59).
+    """
+    return -(-unsharded_len // max(dp, 1))
+
+
 class ShardedPipeline:
     """Groups ``dp`` consecutive pipeline batches into one stacked super-batch
     for the shard_map step (each dp slice keeps LOCAL node indices)."""
@@ -77,7 +86,11 @@ def run(cfg: Config, args):
     splits = load_datasets(cfg, limit=getattr(args, "limit", None))
     train_pipe, val_pipe, test_pipe = _pipelines(cfg, splits)
     model_init, model_apply = create_model(cfg.model)
-    optimizer = build_optimizer(cfg, len(train_pipe))
+    # under dp>1 the train pipe is later wrapped in ShardedPipeline (dp
+    # batches per super-step), so the optimizer's OneCycle total_steps must
+    # be built from the SHARDED steps/epoch or the schedule never completes
+    optimizer = build_optimizer(cfg, sharded_steps_per_epoch(
+        len(train_pipe), cfg.parallel.dp))
     state = init_train_state(jax.random.key(cfg.seed), cfg, model_init,
                              optimizer)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(state.params))

@@ -1,0 +1,79 @@
+"""dp>1 LR-schedule accounting: the optimizer's OneCycle total_steps must be
+built from the SHARDED steps/epoch (dp batches per super-step), matching the
+actual number of optimizer steps executed (reference step accounting:
+/root/reference/train/train.py:59). Regression test for the round-1 bug where
+the optimizer was built from the unsharded pipeline length, so a dp>1 run
+executed dp x fewer steps than its schedule annealed over.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from cartnet_tpu.config import Config, DataConfig, ModelConfig, OptimConfig
+from cartnet_tpu.data.batching import collate
+from cartnet_tpu.data.synthetic import synthetic_dataset
+from cartnet_tpu.models.cartnet import cartnet_apply, cartnet_init
+from cartnet_tpu.runner import ShardedPipeline, sharded_steps_per_epoch
+from cartnet_tpu.train.loop import (build_optimizer, init_train_state,
+                                    train_epoch)
+from cartnet_tpu.train.schedule import reference_total_steps
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+DP, EP = 2, 1
+N_PER, E_PER, G_PER = 64, 1024, 2
+
+
+class _ListPipe(list):
+    pass
+
+
+def _cfg(max_epoch=2, accum=1):
+    return Config(
+        model=ModelConfig(dim_in=16, dim_rbf=8, num_layers=1, cholesky=False),
+        data=DataConfig(max_nodes=N_PER, max_edges=E_PER, max_graphs=G_PER),
+        optim=OptimConfig(lr=1e-3, max_epoch=max_epoch,
+                          batch_accumulation=accum))
+
+
+def _pipe(n_batches, seed=0):
+    recs = synthetic_dataset(n_batches * G_PER, mean_atoms=10, adp=False,
+                             seed=seed)
+    return _ListPipe(collate(recs[i * G_PER:(i + 1) * G_PER], N_PER, E_PER,
+                             G_PER) for i in range(n_batches))
+
+
+@pytest.mark.parametrize("n,dp", [(4, 2), (5, 2), (3, 4), (7, 1)])
+def test_sharded_steps_matches_pipeline_length(n, dp):
+    pipe = _pipe(n)
+    assert sharded_steps_per_epoch(n, dp) == len(ShardedPipeline(pipe, dp))
+
+
+def test_dp2_optimizer_steps_equal_schedule_steps():
+    """One dp=2 epoch executes exactly the step count the schedule was built
+    from — including a ragged tail (5 batches -> 3 super-steps)."""
+    from cartnet_tpu.parallel.mesh import make_mesh
+    from cartnet_tpu.parallel.step import make_parallel_steps
+    cfg = _cfg(max_epoch=2)
+    pipe = _pipe(5)
+    steps = sharded_steps_per_epoch(len(pipe), DP)
+    assert steps == 3
+    opt = build_optimizer(cfg, steps)
+    state = init_train_state(jax.random.key(0), cfg, cartnet_init, opt)
+    mesh = make_mesh(DP, EP)
+    micro, update, _ = make_parallel_steps(cfg, cartnet_apply, opt, mesh)
+    sharded = ShardedPipeline(pipe, DP)
+
+    for _ in range(cfg.optim.max_epoch):
+        state = train_epoch(state, sharded, micro, update,
+                            cfg.optim.batch_accumulation)
+    executed = int(state.step)
+    total_scheduled = reference_total_steps(cfg.optim.max_epoch, steps,
+                                            cfg.optim.batch_accumulation)
+    assert executed == cfg.optim.max_epoch * steps
+    # the schedule's total covers the run (its quirky +max_epoch slack aside)
+    assert total_scheduled - cfg.optim.max_epoch <= executed <= total_scheduled
+    assert np.isfinite(float(np.asarray(jax.tree.leaves(state.params)[0]).sum()))
