@@ -124,21 +124,27 @@ def load_datasets(cfg: Config, limit=None) -> Tuple[List[dict], List[dict], List
                              cfg.data.radius, cfg.data.max_neighbors,
                              limit=limit)
     if name == "ADP":
-        from cartnet_tpu.data.adp import ADPDataset
+        from cartnet_tpu.data.adp import ADPDataset, LazyRecords
         csvdir = os.path.join(cfg.data.path, "csv")
         root = os.path.join(cfg.data.path, "data")
         sets = []
         for split in ("train", "val", "test"):
             # augment=False here: SO(3) augmentation is applied per-epoch by
-            # BatchPipeline (runner._pipelines), not baked in at load time
+            # BatchPipeline (runner._pipelines), not baked in at load time.
+            # max_neighbors > 0 (Comformer runs) triggers the reference's
+            # compute_knn re-edging (loader/loader.py:24-28); CartNet runs
+            # pass -1 and keep the stored radius-graph edges.
             ds = ADPDataset(root, os.path.join(csvdir, f"{split}_files.csv"),
                             standarize_temp=cfg.data.standarize_temp,
                             hydrogens=cfg.data.use_hydrogens,
                             augment=False,
-                            optimize_cell=cfg.data.optimize_cell)
-            rng = np.random.default_rng(cfg.seed)
-            n = len(ds) if limit is None else min(limit, len(ds))
-            sets.append([ds.get(i, rng) for i in range(n)])
+                            optimize_cell=cfg.data.optimize_cell,
+                            max_neighbors=cfg.data.max_neighbors,
+                            radius=cfg.data.radius)
+            # lazy view: the 208k-record split streams per-refcode .pt like
+            # the reference's DataLoader workers (loader/loader.py:115-123)
+            # instead of materializing ~40 GB up front
+            sets.append(LazyRecords(ds, limit=limit))
         return tuple(sets)
     raise ValueError(f"dataset '{name}' not implemented")
 

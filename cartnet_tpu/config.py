@@ -88,6 +88,11 @@ class ParallelConfig:
     ep: int = 1  # edge/graph-partition parallel (shard edges, psum node aggregates)
     axis_dp: str = "dp"
     axis_ep: str = "ep"
+    # halo mode: shard NODES over ep too (parallel/halo.py); per-layer comms
+    # become one boundary-atom all_to_all instead of a full [N,d] all-reduce
+    halo: bool = False
+    # static per-owner halo row cap; None = n_per (always feasible worst case)
+    halo_max: Optional[int] = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -37,6 +37,32 @@ FIGSHARE_URLS = {
     "megnet": "https://ndownloader.figshare.com/files/26724977",
 }
 
+# megnet bulk/shear moduli ship as PRE-SPLIT pickles, not via jdata
+# (reference loader/loader.py:44-79; files from
+# https://figshare.com/projects/Bulk_and_shear_datasets/165430)
+PICKLE_TARGETS = {"bulk modulus": "bulk", "shear modulus": "shear"}
+
+
+def load_pickle_splits(target: str, path: str) -> List[List[dict]]:
+    """Pre-split megnet bulk/shear pickles -> [train, val, test] raw lists.
+
+    Mirrors /root/reference/loader/loader.py:45-66: the three
+    ``{bulk|shear}_megnet_{split}.pkl`` files are loaded as-is (the split is
+    fixed upstream; no seed-123 reshuffle)."""
+    import pickle
+    prefix = PICKLE_TARGETS[target]
+    out = []
+    for split in ("train", "val", "test"):
+        p = os.path.join(path, f"{prefix}_megnet_{split}.pkl")
+        if not os.path.exists(p):
+            raise FileNotFoundError(
+                f"{p} not found — download the bulk/shear megnet pickles "
+                "from https://figshare.com/projects/"
+                "Bulk_and_shear_datasets/165430 into the dataset path")
+        with open(p, "rb") as f:
+            out.append(pickle.load(f))
+    return out
+
 
 def _download(name: str, raw_dir: str) -> str:
     os.makedirs(raw_dir, exist_ok=True)
@@ -115,17 +141,30 @@ def build_dataset(name: str, target: str, path: str, radius: float = 5.0,
     """Full pipeline -> (train, val, test) lists of GraphRecords, cached."""
     mn = max_neighbors if (max_neighbors or 0) > 0 else None
     cache = os.path.join(
-        path, f"{name}_{radius}_{mn or -1}_{target}_123.npz_dir")
+        path,
+        f"{name}_{radius}_{mn or -1}_{target.replace(' ', '_')}_123.npz_dir")
     if os.path.isdir(cache):
         return tuple(_load_split(os.path.join(cache, s))
                      for s in ("train", "val", "test"))
-    data = load_raw(name, path)
-    dat, targets = filter_by_target(data, target)
-    tr, va, te = split_123(len(dat))
+    if name == "megnet" and target in PICKLE_TARGETS:
+        # pre-split pickles, same usable-target filter applied per split
+        # (loader.py:67-79) — no seed-123 reshuffle
+        per_split = []
+        for raw in load_pickle_splits(target, path):
+            dat, targets = filter_by_target(raw, target)
+            per_split.append((dat, targets))
+        split_ids = [list(range(len(d))) for d, _ in per_split]
+    else:
+        data = load_raw(name, path)
+        dat, targets = filter_by_target(data, target)
+        tr, va, te = split_123(len(dat))
+        per_split = [(dat, targets)] * 3
+        split_ids = [tr, va, te]
     if limit:
-        tr, va, te = tr[:limit], va[:max(limit // 8, 1)], te[:max(limit // 8, 1)]
+        lims = (limit, max(limit // 8, 1), max(limit // 8, 1))
+        split_ids = [ids[:k] for ids, k in zip(split_ids, lims)]
     splits = []
-    for ids in (tr, va, te):
+    for (dat, targets), ids in zip(per_split, split_ids):
         recs = [atoms_to_record(dat[i]["atoms"], targets[i], radius, mn)
                 for i in ids]
         splits.append(recs)

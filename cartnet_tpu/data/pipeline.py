@@ -20,16 +20,29 @@ from cartnet_tpu.data.batching import collate
 from cartnet_tpu.data.schema import CrystalBatch
 
 
-def choose_pad_sizes(records: Sequence[dict], batch_size: int,
-                     node_multiple: int = 128, edge_multiple: int = 512,
-                     safety: float = 1.0):
+def record_counts(records) -> tuple:
+    """(node_counts, edge_counts) arrays for a record source.
+
+    Lazy datasets (ADP-scale) expose a ``counts()`` method backed by a
+    sidecar cache so sizing never materializes the records."""
+    if hasattr(records, "counts"):
+        return records.counts()
+    nodes = np.array([len(r["z"]) for r in records])
+    edges = np.array([len(r["edge_src"]) for r in records])
+    return nodes, edges
+
+
+def choose_pad_sizes_from_counts(nodes: np.ndarray, edges: np.ndarray,
+                                 batch_size: int, node_multiple: int = 128,
+                                 edge_multiple: int = 512,
+                                 safety: float = 1.0):
     """Static (max_nodes, max_edges) covering the worst batch of this dataset.
 
     Uses the max over a sliding sum of the ``batch_size`` largest graphs —
     conservative upper bound, rounded to hardware-friendly multiples.
     """
-    nodes = np.sort([len(r["z"]) for r in records])[::-1]
-    edges = np.sort([len(r["edge_src"]) for r in records])[::-1]
+    nodes = np.sort(np.asarray(nodes))[::-1]
+    edges = np.sort(np.asarray(edges))[::-1]
     worst_n = int(nodes[:batch_size].sum() * safety)
     worst_e = int(edges[:batch_size].sum() * safety)
     max_nodes = -(-max(worst_n, 1) // node_multiple) * node_multiple
@@ -42,15 +55,27 @@ def choose_pad_sizes(records: Sequence[dict], batch_size: int,
     return max_nodes, max_edges
 
 
+def choose_pad_sizes(records, batch_size: int,
+                     node_multiple: int = 128, edge_multiple: int = 512,
+                     safety: float = 1.0):
+    nodes, edges = record_counts(records)
+    return choose_pad_sizes_from_counts(nodes, edges, batch_size,
+                                        node_multiple, edge_multiple, safety)
+
+
 class BatchPipeline:
     """Iterates padded batches over a list of GraphRecords."""
 
-    def __init__(self, records: List[dict], batch_size: int,
+    # eval-batch caching is skipped above this estimated footprint so an
+    # ADP-scale (23k-crystal) test split never pins GBs of collated batches
+    CACHE_BUDGET_BYTES = 2 << 30
+
+    def __init__(self, records, batch_size: int,
                  max_nodes: Optional[int] = None, max_edges: Optional[int] = None,
                  shuffle: bool = False, augment: bool = False,
                  rotate_targets: bool = True, seed: int = 0,
                  drop_last: bool = False, prefetch: int = 2,
-                 cache: Optional[bool] = None):
+                 cache: Optional[bool] = None, workers: int = 0):
         self.records = records
         self.batch_size = batch_size
         if max_nodes is None or max_edges is None:
@@ -61,14 +86,32 @@ class BatchPipeline:
         self.rotate_targets = rotate_targets
         self.drop_last = drop_last
         self.prefetch = prefetch
-        # static eval pipelines (no shuffle/augment) collate once, reuse forever
-        self.cache = (not shuffle and not augment) if cache is None else cache
+        self.workers = workers
+        # static eval pipelines (no shuffle/augment) collate once, reuse
+        # forever — unless the cached epoch would blow the memory budget
+        if cache is None:
+            est = len(self) * self._batch_nbytes()
+            cache = (not shuffle and not augment
+                     and est < self.CACHE_BUDGET_BYTES)
+        self.cache = cache
         self._cached: Optional[List[CrystalBatch]] = None
         self._rng = np.random.default_rng(seed)
+
+    def _batch_nbytes(self) -> int:
+        """Rough collated-batch footprint (f32 fields + masks + indices)."""
+        return self.max_nodes * 64 + self.max_edges * 33
 
     def __len__(self):
         n = len(self.records)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _fetch(self, idxs) -> List[dict]:
+        if self.workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            if not hasattr(self, "_pool"):
+                self._pool = ThreadPoolExecutor(self.workers)
+            return list(self._pool.map(self.records.__getitem__, idxs))
+        return [self.records[j] for j in idxs]
 
     def _make_batches(self) -> Iterator[CrystalBatch]:
         order = np.arange(len(self.records))
@@ -77,7 +120,7 @@ class BatchPipeline:
         bs = self.batch_size
         stop = (len(order) // bs) * bs if self.drop_last else len(order)
         for i in range(0, stop, bs):
-            recs = [self.records[j] for j in order[i:i + bs]]
+            recs = self._fetch(order[i:i + bs])
             if self.augment:
                 recs = [augment_record(r, self._rng, self.rotate_targets)
                         for r in recs]

@@ -51,6 +51,14 @@ class CrystalBatch:
     # (23x faster than XLA's unsorted scatter on TPU — scripts/profile_ops.py).
     # None inside edge-partitioned shard_map shards (perm is per-full-batch).
     edge_src_perm: Optional[jnp.ndarray] = None  # [E] int32
+    # halo edge partitioning (parallel/halo.py): nodes AND edges sharded over
+    # the ep mesh axis; per member, the local node rows to send to every other
+    # ep member each layer. None on replicated/single-device batches.
+    # Shapes per dp slice: [ep, ep, H] (member-major on the leading axis);
+    # edge_src then indexes the member-local table
+    # [x_local (n_per) ‖ recv (ep*H)] built by one all_to_all per layer.
+    halo_send_idx: Optional[jnp.ndarray] = None   # [M, ep, H] int32
+    halo_send_mask: Optional[jnp.ndarray] = None  # [M, ep, H] bool
     # static: True when every edge window satisfies the Pallas segment-sum
     # span condition (batching._windows_ok) for both dst and sorted-src ids.
     pallas_seg_ok: bool = flax.struct.field(pytree_node=False, default=False)

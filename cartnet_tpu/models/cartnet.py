@@ -99,7 +99,8 @@ def layer_init(key, cfg: ModelConfig):
     return p, {"bn": bn_s, "bn2": bn2_s}
 
 
-def _dual_edge_mlp(p, x, e, batch: CrystalBatch):
+def _dual_edge_mlp(p, x, e, batch: CrystalBatch,
+                   ep_axis: Optional[str] = None):
     """Both per-edge MLPs (gate & aggregate) with merged projections.
 
     Each MLP's first layer acts on [x_dst ‖ x_src ‖ e] (reference concat order
@@ -109,6 +110,10 @@ def _dual_edge_mlp(p, x, e, batch: CrystalBatch):
     gathers; gathers use sorted-VJP (dst is pre-sorted, src via the collate
     permutation) so backward scatter-adds hit the fast sorted path.
     Identical math to two independent MLP([xi‖xj‖e]) evaluations.
+
+    Halo mode (batch.halo_send_idx set, nodes sharded over ``ep_axis``):
+    boundary source rows are exchanged ONCE at d-width (parallel/halo.py),
+    then the member-local table is projected and gathered member-locally.
     """
     d = x.shape[-1]
     wg, bg = p["mlp_gate"]["lin0"]["w"], p["mlp_gate"]["lin0"]["b"]
@@ -118,19 +123,30 @@ def _dual_edge_mlp(p, x, e, batch: CrystalBatch):
     we = jnp.concatenate([wg[2 * d:], wa[2 * d:]], axis=1)
     b = jnp.concatenate([bg, ba])
 
-    xi = jnp.dot(x, wi, preferred_element_type=x.dtype)          # [N, 2d]
-    xj = jnp.dot(x, wj, preferred_element_type=x.dtype)
-    if batch.edge_src_perm is None:
-        # shard_map path: no batch-global permutation; plain gathers (the
-        # custom-vjp collective-typing doesn't compose with vma tracking).
-        gi = xi[batch.edge_dst]
-        gj = xj[batch.edge_src]
+    if batch.halo_send_idx is not None:
+        from cartnet_tpu.parallel.halo import halo_table
+        send_idx = batch.halo_send_idx.reshape(
+            batch.halo_send_idx.shape[-2:])  # [ep, H] member block
+        table = halo_table(x, send_idx, ep_axis)
+        xi = jnp.dot(table, wi, preferred_element_type=x.dtype)
+        xj = jnp.dot(table, wj, preferred_element_type=x.dtype)
+        gi = xi[batch.edge_dst]   # dst is member-local (< n_per)
+        gj = xj[batch.edge_src]   # src indexes [local ‖ recv] table
     else:
-        dst_perm = jnp.arange(batch.num_edges, dtype=jnp.int32)  # dst sorted
-        gi = segment.gather_edges(xi, batch.edge_dst, dst_perm,
-                                  batch.pallas_seg_ok)
-        gj = segment.gather_edges(xj, batch.edge_src, batch.edge_src_perm,
-                                  batch.pallas_seg_ok)
+        xi = jnp.dot(x, wi, preferred_element_type=x.dtype)      # [N, 2d]
+        xj = jnp.dot(x, wj, preferred_element_type=x.dtype)
+        if batch.edge_src_perm is None:
+            # shard_map path: no batch-global permutation; plain gathers (the
+            # custom-vjp collective-typing doesn't compose with vma tracking).
+            gi = xi[batch.edge_dst]
+            gj = xj[batch.edge_src]
+        else:
+            dst_perm = jnp.arange(batch.num_edges, dtype=jnp.int32)  # sorted
+            gi = segment.gather_edges(xi, batch.edge_dst, dst_perm,
+                                      batch.pallas_seg_ok)
+            gj = segment.gather_edges(xj, batch.edge_src,
+                                      batch.edge_src_perm,
+                                      batch.pallas_seg_ok)
     pre = gi + gj + jnp.dot(e, we, preferred_element_type=x.dtype) + b
     h = jax.nn.silu(pre)
     gate = nn.linear(p["mlp_gate"]["lin1"], h[:, :d])
@@ -154,7 +170,8 @@ def layer_apply(p, state, x, e, batch: CrystalBatch, cfg: ModelConfig,
     """
     x_in, e_in = x, e
 
-    gate, sender = _dual_edge_mlp(p, x, e, batch)
+    halo = batch.halo_send_idx is not None
+    gate, sender = _dual_edge_mlp(p, x, e, batch, ep_axis)
     gate, bn_s = masked_batch_norm(p["bn"], state["bn"], gate, batch.edge_mask,
                                    training=training, momentum=cfg.bn_momentum,
                                    eps=cfg.bn_eps, axis_names=edge_stat_axes)
@@ -168,7 +185,10 @@ def layer_apply(p, state, x, e, batch: CrystalBatch, cfg: ModelConfig,
                                       batch.edge_mask, batch.num_nodes,
                                       sorted_ids=True,
                                       pallas_ok=batch.pallas_seg_ok)
-    if ep_axis is not None:
+    if ep_axis is not None and not halo:
+        # replicated-node layout: partial aggregates all-reduce over ep.
+        # halo layout owns dst locally — the segment-sum above IS the full
+        # aggregate, no collective needed.
         aggr = jax.lax.psum(aggr, ep_axis)
     aggr, bn2_s = masked_batch_norm(p["bn2"], state["bn2"], aggr,
                                     batch.node_mask, training=training,
@@ -198,11 +218,22 @@ def scalar_head_init(key, cfg: ModelConfig):
     return {"mlp": nn.mlp_init(key, [d, d // 2, 1], True, cfg.param_dtype)}
 
 
-def scalar_head_apply(p, x, batch: CrystalBatch):
-    """[N, d] -> per-graph scalar [G] via masked scatter-mean."""
+def scalar_head_apply(p, x, batch: CrystalBatch,
+                      psum_axis: Optional[str] = None):
+    """[N, d] -> per-graph scalar [G] via masked scatter-mean.
+
+    ``psum_axis``: in halo mode nodes are sharded over ep, so a graph split
+    across members needs its partial sums and counts all-reduced before the
+    mean (graph slots are global within the dp slice)."""
     out = nn.mlp_silu(p["mlp"], x, 2)
-    per_graph = segment.masked_segment_mean(out, batch.graph_id, batch.node_mask,
-                                            batch.num_graphs)
+    s = segment.masked_segment_sum(out, batch.graph_id, batch.node_mask,
+                                   batch.num_graphs)
+    cnt = segment.segment_sum(batch.node_mask.astype(out.dtype),
+                              batch.graph_id, batch.num_graphs)
+    if psum_axis is not None:
+        s = jax.lax.psum(s, psum_axis)
+        cnt = jax.lax.psum(cnt, psum_axis)
+    per_graph = s / jnp.maximum(cnt, 1.0)[:, None]
     return per_graph[:, 0]
 
 
@@ -266,6 +297,8 @@ def cartnet_apply(params, state, batch: CrystalBatch, cfg: ModelConfig,
         pred = cholesky_head_apply(params["head"], x)
         mask = batch.non_h_mask
     else:
-        pred = scalar_head_apply(params["head"], x, batch)
+        halo = batch.halo_send_idx is not None
+        pred = scalar_head_apply(params["head"], x, batch,
+                                 psum_axis=ep_axis if halo else None)
         mask = batch.graph_mask
     return pred, mask, new_state

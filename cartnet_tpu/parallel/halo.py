@@ -1,0 +1,206 @@
+"""Halo-exchange edge partitioning: nodes AND edges sharded over ``ep``.
+
+The round-1 edge-parallel layout replicated every node array and all-reduced
+the complete [N, d] aggregate per layer — O(N·d·layers) ICI traffic regardless
+of how separable the graph is. This module implements the BASELINE north-star
+design (SURVEY.md §2.2/§7.7, no reference counterpart): each ep member OWNS a
+contiguous range of nodes and exactly the edges whose DESTINATION it owns, so
+
+  * the scatter/segment-sum of message passing is fully member-local
+    (dst-partitioned edges need no reduce-scatter);
+  * the only per-layer communication is the halo: boundary SOURCE-node
+    features fetched from their owners with one all_to_all over the ep axis;
+  * node partitions snap to graph boundaries whenever the batch's crystals
+    fit whole members, making the halo EMPTY (zero comms bytes) for ordinary
+    multi-graph batches — halo traffic only pays for graphs genuinely split
+    across chips (the CP/ring-attention analogue for graph-size scaling).
+
+Host-side planning (``to_halo``) is pure numpy on an already-collated batch;
+device-side exchange (``halo_table``) is one gather + lax.all_to_all + concat
+whose AD transpose shard_map derives automatically.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from cartnet_tpu.data.schema import CrystalBatch
+
+
+class HaloInfeasible(ValueError):
+    pass
+
+
+def _partition_nodes(node_mask: np.ndarray, graph_id: np.ndarray,
+                     edge_dst: np.ndarray, edge_mask: np.ndarray,
+                     ep: int, n_per: int, e_per: int) -> np.ndarray:
+    """Contiguous node-range bounds [ep+1] balancing in-edges under caps.
+
+    Greedy sweep targeting ~equal edges/member; each boundary snaps back to
+    the nearest graph start when one exists inside the member's range (free
+    zero-halo cuts), else splits mid-graph (paid for via halo exchange).
+    """
+    n = len(node_mask)
+    nr = int(node_mask.sum())
+    indeg = np.bincount(edge_dst[edge_mask], minlength=n)
+    cum_edges = np.concatenate([[0], np.cumsum(indeg)])  # edges into [0, i)
+    er = int(cum_edges[nr])
+    graph_starts = np.flatnonzero(np.diff(
+        np.concatenate([[-1], graph_id[:nr]])) != 0)
+    bounds = [0]
+    for m in range(ep - 1):
+        lo = bounds[-1]
+        target_edges = er * (m + 1) / ep
+        # furthest cut satisfying both caps for THIS member
+        hi_cap = min(lo + n_per, nr)
+        while hi_cap > lo and cum_edges[hi_cap] - cum_edges[lo] > e_per:
+            hi_cap -= 1
+        # prefer the edge-balanced cut if it fits, else the cap
+        hi_bal = int(np.searchsorted(cum_edges, target_edges))
+        hi = min(max(hi_bal, lo), hi_cap)
+        # snap to a graph boundary inside (lo, hi] when available
+        snaps = graph_starts[(graph_starts > lo) & (graph_starts <= hi)]
+        if len(snaps):
+            hi = int(snaps[-1])
+        if hi <= lo and nr > lo:
+            hi = min(lo + 1, hi_cap) if hi_cap > lo else lo
+        bounds.append(hi)
+    bounds.append(nr)
+    bounds = np.asarray(bounds, np.int64)
+    # feasibility: every member within caps
+    for m in range(ep):
+        ln = bounds[m + 1] - bounds[m]
+        le = cum_edges[bounds[m + 1]] - cum_edges[bounds[m]]
+        if ln > n_per or le > e_per:
+            raise HaloInfeasible(
+                f"member {m}: {ln} nodes (cap {n_per}) / {le} edges "
+                f"(cap {e_per}) — raise max_nodes/max_edges padding")
+    return bounds
+
+
+def to_halo(batch: CrystalBatch, ep: int,
+            h_max: Optional[int] = None) -> CrystalBatch:
+    """Re-layout a collated (numpy) dp-slice batch for halo edge parallelism.
+
+    Node/edge arrays become member-major blocks of n_per = N/ep and
+    e_per = E/ep; edge_dst is member-LOCAL (still ascending per member);
+    edge_src indexes the member table [local (n_per) ‖ recv (ep*h_max)].
+    """
+    N, E = batch.z.shape[0], batch.edge_src.shape[0]
+    if N % ep or E % ep:
+        raise HaloInfeasible(f"pad sizes must divide ep: N={N} E={E} ep={ep}")
+    n_per, e_per = N // ep, E // ep
+    if h_max is None:
+        h_max = n_per  # one owner can contribute at most its n_per rows
+    node_mask = np.asarray(batch.node_mask)
+    edge_mask = np.asarray(batch.edge_mask)
+    dst = np.asarray(batch.edge_dst).astype(np.int64)
+    src = np.asarray(batch.edge_src).astype(np.int64)
+    graph_id = np.asarray(batch.graph_id)
+    bounds = _partition_nodes(node_mask, graph_id, dst, edge_mask, ep,
+                              n_per, e_per)
+
+    adp = np.ndim(batch.y) == 3
+    nz = lambda shape, dt: np.zeros(shape, dt)
+    out_z = nz(N, np.int32)
+    out_pos = nz((N, 3), np.float32)
+    out_gid = nz(N, np.int32)
+    out_nmask = nz(N, bool)
+    out_nonh = nz(N, bool)
+    out_y = nz((N, 3, 3), np.float32) if adp else np.asarray(batch.y)
+    out_src = np.zeros(E, np.int32)
+    out_dst = np.zeros(E, np.int32)
+    out_dist = nz(E, np.float32)
+    out_dir = nz((E, 3), np.float32)
+    out_emask = nz(E, bool)
+    send_idx = nz((ep, ep, h_max), np.int32)
+    send_mask = nz((ep, ep, h_max), bool)
+
+    owner_of = np.searchsorted(bounds, np.arange(N), side="right") - 1
+    owner_of = np.clip(owner_of, 0, ep - 1)
+
+    for m in range(ep):
+        lo, hi = int(bounds[m]), int(bounds[m + 1])
+        ln = hi - lo
+        nsl = slice(m * n_per, m * n_per + ln)
+        out_z[nsl] = np.asarray(batch.z)[lo:hi]
+        out_pos[nsl] = np.asarray(batch.pos)[lo:hi]
+        out_gid[nsl] = graph_id[lo:hi]
+        out_nmask[nsl] = node_mask[lo:hi]
+        out_nonh[nsl] = np.asarray(batch.non_h_mask)[lo:hi]
+        if adp:
+            out_y[nsl] = np.asarray(batch.y)[lo:hi]
+
+        esel = np.flatnonzero(edge_mask & (dst >= lo) & (dst < hi))
+        le = len(esel)
+        esl = slice(m * e_per, m * e_per + le)
+        # local dst ids; preserved dst-sorted order stays ascending
+        out_dst[esl] = (dst[esel] - lo).astype(np.int32)
+        out_dist[esl] = np.asarray(batch.cart_dist)[esel]
+        out_dir[esl] = np.asarray(batch.cart_dir)[esel]
+        out_emask[esl] = True
+        # pad edges of this member point at its last local row (monotone)
+        pad_sl = slice(m * e_per + le, (m + 1) * e_per)
+        out_dst[pad_sl] = max(n_per - 1, 0)
+        out_src[pad_sl] = 0
+
+        # src remap: local rows, or halo slots per owner
+        e_src = src[esel]
+        e_owner = owner_of[e_src]
+        src_ids = np.empty(le, np.int32)
+        local = e_owner == m
+        src_ids[local] = (e_src[local] - lo).astype(np.int32)
+        for o in np.unique(e_owner[~local]):
+            sel = e_owner == o
+            rows = np.unique(e_src[sel])  # global rows owned by o
+            if len(rows) > h_max:
+                raise HaloInfeasible(
+                    f"halo {len(rows)} rows from member {int(o)} to {m} "
+                    f"exceeds h_max={h_max}")
+            # sender-side layout: member o sends these (local to o) to m
+            send_idx[o, m, :len(rows)] = (rows - bounds[o]).astype(np.int32)
+            send_mask[o, m, :len(rows)] = True
+            slot = np.searchsorted(rows, e_src[sel])
+            src_ids[sel] = (n_per + int(o) * h_max + slot).astype(np.int32)
+        out_src[esl] = src_ids
+
+    return batch.replace(
+        z=out_z, pos=out_pos, graph_id=out_gid, node_mask=out_nmask,
+        non_h_mask=out_nonh, y=out_y,
+        edge_src=out_src, edge_dst=out_dst, cart_dist=out_dist,
+        cart_dir=out_dir, edge_mask=out_emask,
+        edge_src_perm=None, pallas_seg_ok=False,
+        halo_send_idx=send_idx, halo_send_mask=send_mask)
+
+
+def halo_table(x, send_idx, ep_axis: str):
+    """Per-layer boundary exchange: one gather + all_to_all over ``ep_axis``.
+
+    x: member-local [n_per, d]; send_idx: [ep, H] rows this member sends to
+    every other member. Returns the gather table
+    [n_per + ep*H, d] = [x ‖ recv-from-0 ‖ recv-from-1 ‖ ...]; edge_src ids
+    from ``to_halo`` index straight into it. Unfilled slots are never
+    referenced by real edges, so no receiver-side masking is needed.
+    """
+    import jax
+    import jax.numpy as jnp
+    send = x[send_idx]  # [ep, H, d] — local rows destined for each member
+    recv = jax.lax.all_to_all(send, ep_axis, split_axis=0, concat_axis=0)
+    return jnp.concatenate([x, recv.reshape(-1, x.shape[-1])], axis=0)
+
+
+def comms_bytes_per_layer(batch: CrystalBatch, dim: int,
+                          itemsize: int = 4) -> Tuple[int, int]:
+    """(halo_bytes, replicated_psum_bytes) per message-passing layer.
+
+    halo: real send rows, once out + once in. replicated baseline: ring
+    all-reduce of the full [N, d] aggregate = 2·(ep-1)/ep · N·d.
+    """
+    ep = batch.halo_send_idx.shape[-2]
+    sent = int(np.asarray(batch.halo_send_mask).sum())
+    halo = 2 * sent * dim * itemsize
+    n_total = batch.z.shape[0]
+    psum = int(2 * (ep - 1) / ep * n_total * dim * itemsize)
+    return halo, psum

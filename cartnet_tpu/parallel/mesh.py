@@ -35,14 +35,21 @@ def make_mesh(dp: int = 1, ep: int = 1,
     return Mesh(arr, ("dp", "ep"))
 
 
-def batch_pspecs() -> CrystalBatch:
+def batch_pspecs(halo: bool = False,
+                 node_targets: bool = False) -> CrystalBatch:
     """PartitionSpec per CrystalBatch field (leading-axis layout).
 
-    Node/graph arrays split over dp only (replicated over ep); edge arrays
-    split over (dp, ep) jointly — dp-major, ep-minor — so each device owns a
-    contiguous dst-sorted slice of its dp-slice's edges.
+    Replicated-node layout (halo=False): node/graph arrays split over dp only
+    (replicated over ep); edge arrays split over (dp, ep) jointly — dp-major,
+    ep-minor — so each device owns a contiguous dst-sorted slice of its
+    dp-slice's edges.
+
+    Halo layout (halo=True, parallel/halo.py): node arrays are ALSO split
+    over ep (member-major blocks from to_halo), as are node-aligned targets;
+    graph arrays stay replicated within the dp slice (graph slots are global
+    there). halo_send_idx/mask are member-major on their leading axis.
     """
-    node = P("dp")
+    node = P(("dp", "ep")) if halo else P("dp")
     edge = P(("dp", "ep"))
     graph = P("dp")
     return CrystalBatch(
@@ -50,7 +57,9 @@ def batch_pspecs() -> CrystalBatch:
         edge_src=edge, edge_dst=edge, cart_dir=edge, cart_dist=edge,
         edge_mask=edge,
         cell=graph, temperature=graph, graph_mask=graph,
-        y=node)  # y spec equals node for ADP [N,3,3]; graph for scalar — both P("dp")
+        y=node if node_targets else graph,
+        halo_send_idx=P(("dp", "ep")) if halo else None,
+        halo_send_mask=P(("dp", "ep")) if halo else None)
 
 
 def batch_shardings(mesh: Mesh) -> CrystalBatch:

@@ -65,30 +65,52 @@ def _masked_sums(pred, true, mask):
     return (jnp.sum(jnp.abs(diff)), jnp.sum(diff * diff), jnp.sum(m) * elems)
 
 
-def make_parallel_steps(cfg: Config, model_apply, optimizer, mesh: Mesh):
-    """Build (micro_step, update_step, eval_step) over a (dp, ep) mesh."""
-    bspecs = batch_pspecs()
+def make_parallel_steps(cfg: Config, model_apply, optimizer, mesh: Mesh,
+                        halo: bool = False):
+    """Build (micro_step, update_step, eval_step) over a (dp, ep) mesh.
+
+    halo=False: nodes replicated over ep, per-layer psum of aggregates.
+    halo=True: nodes sharded over ep too (parallel/halo.py to_halo batches);
+    the only per-layer collective is the boundary all_to_all. Node-level BN
+    stats then reduce over BOTH axes, and node-aligned losses need no ep lane
+    partitioning (ownership already makes them disjoint).
+    """
+    node_targets = cfg.model.cholesky
+    bspecs = batch_pspecs(halo, node_targets)
     axes = ("dp", "ep")
+    node_axes = axes if halo else ("dp",)
 
     def _forward_loss(params, bn_state, batch: CrystalBatch, training: bool):
         pred, mask, new_bn = model_apply(
             params, bn_state, batch, cfg.model, training=training,
-            ep_axis="ep", edge_stat_axes=axes, node_stat_axes=("dp",))
-        lmask = _partition_mask(mask, "ep")
+            ep_axis="ep", edge_stat_axes=axes, node_stat_axes=node_axes)
+        lmask = (mask if halo and node_targets
+                 else _partition_mask(mask, "ep"))
         sa, sq, cnt = _masked_sums(pred, batch.y, lmask)
         sa = jax.lax.psum(sa, axes)
         sq = jax.lax.psum(sq, axes)
         cnt = jnp.maximum(jax.lax.psum(cnt, axes), 1.0)
         mae, mse = sa / cnt, sq / cnt
         loss = mae if cfg.optim.loss == "MAE" else mse
-        return loss, (mae, mse, new_bn, pred, mask)
+        stats = {"loss": loss, "MAE": mae, "MSE": mse}
+        if cfg.model.cholesky:
+            # per-epoch ADP metrics (reference train/metrics.py:183-238),
+            # disjointly partitioned over ep like the loss, psum'd to the
+            # exact global masked means
+            from cartnet_tpu.train.metrics import adp_stat_sums
+            vol, sim, n = adp_stat_sums(jax.lax.stop_gradient(pred), batch.y,
+                                        lmask)
+            n = jnp.maximum(jax.lax.psum(n, axes), 1.0)
+            stats["volume_percentage_error"] = jax.lax.psum(vol, axes) / n
+            stats["similarity_index"] = jax.lax.psum(sim, axes) / n
+        return loss, (stats, new_bn, pred, mask)
 
     def _micro(state: TrainState, batch: CrystalBatch):
         def lossfn(p, s, b):
             loss, aux = _forward_loss(p, s, b, True)
             return loss, aux
 
-        (loss, (mae, mse, new_bn, _, _)), grads = jax.value_and_grad(
+        (loss, (stats, new_bn, _, _)), grads = jax.value_and_grad(
             lossfn, has_aux=True)(state.params, state.bn_state, batch)
         # NB: no explicit psum of grads — the loss is already psum-replicated,
         # and shard_map AD transposes those psums so each member ends up with
@@ -97,19 +119,20 @@ def make_parallel_steps(cfg: Config, model_apply, optimizer, mesh: Mesh):
         acc = jax.tree.map(jnp.add, state.grad_accum, grads)
         state = state.replace(bn_state=new_bn, grad_accum=acc,
                               accum_count=state.accum_count + 1)
-        return state, {"loss": loss, "MAE": mae, "MSE": mse}
+        return state, stats
 
     def _eval(params, bn_state, batch: CrystalBatch):
-        loss, (mae, mse, _, pred, mask) = _forward_loss(params, bn_state,
-                                                        batch, False)
-        return pred, mask, {"loss": loss, "MAE": mae, "MSE": mse}
+        _, (stats, _, pred, mask) = _forward_loss(params, bn_state,
+                                                  batch, False)
+        return pred, mask, stats
 
     rep = P()
+    pred_spec = P(("dp", "ep")) if halo and node_targets else P("dp")
     micro_sm = jax.shard_map(_micro, mesh=mesh,
                              in_specs=(rep, bspecs), out_specs=(rep, rep))
     eval_sm = jax.shard_map(_eval, mesh=mesh,
                             in_specs=(rep, rep, bspecs),
-                            out_specs=(P("dp"), P("dp"), rep))
+                            out_specs=(pred_spec, pred_spec, rep))
 
     micro_step = jax.jit(micro_sm, donate_argnums=0)
     eval_step = jax.jit(eval_sm)

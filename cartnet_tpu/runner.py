@@ -36,11 +36,15 @@ def sharded_steps_per_epoch(unsharded_len: int, dp: int) -> int:
 
 class ShardedPipeline:
     """Groups ``dp`` consecutive pipeline batches into one stacked super-batch
-    for the shard_map step (each dp slice keeps LOCAL node indices)."""
+    for the shard_map step (each dp slice keeps LOCAL node indices).
 
-    def __init__(self, pipe, dp: int):
+    ``transform``: optional per-slice batch transform applied before stacking
+    (halo mode passes parallel.halo.to_halo here)."""
+
+    def __init__(self, pipe, dp: int, transform=None):
         self.pipe = pipe
         self.dp = dp
+        self.transform = transform
 
     def __len__(self):
         return -(-len(self.pipe) // self.dp)
@@ -51,7 +55,7 @@ class ShardedPipeline:
         from cartnet_tpu.parallel.step import stack_for_shards
         group = []
         for b in self.pipe:
-            group.append(b)
+            group.append(self.transform(b) if self.transform else b)
             if len(group) == self.dp:
                 yield stack_for_shards(group)
                 group = []
@@ -65,11 +69,19 @@ class ShardedPipeline:
 
 
 def _pipelines(cfg: Config, splits):
+    from cartnet_tpu.data.pipeline import (choose_pad_sizes_from_counts,
+                                           record_counts)
     train, val, test = splits
-    mn, me = choose_pad_sizes(train + val + test, cfg.data.batch_size)
+    counts = [record_counts(s) for s in splits]
+    nodes = np.concatenate([c[0] for c in counts])
+    edges = np.concatenate([c[1] for c in counts])
+    mn, me = choose_pad_sizes_from_counts(nodes, edges, cfg.data.batch_size)
+    # lazy (ADP-scale) sources stream via a fetch pool; in-memory lists don't
+    # need one
+    workers = 0 if isinstance(train, list) else 4
     mk = lambda recs, shuffle, augment, bs: BatchPipeline(
         recs, bs, mn, me, shuffle=shuffle, augment=augment,
-        rotate_targets=cfg.model.cholesky, seed=cfg.seed)
+        rotate_targets=cfg.model.cholesky, seed=cfg.seed, workers=workers)
     return (mk(train, True, cfg.data.augment, cfg.data.batch_size),
             mk(val, False, False, cfg.data.batch_size),
             mk(test, False, False, cfg.data.batch_size))
@@ -135,12 +147,14 @@ def train(cfg: Config, state, model_apply, optimizer, pipes, resume=False,
           wandb_enabled=False, wandb_project="", wandb_entity="",
           profile=False):
     import jax
-    from cartnet_tpu.train.loop import eval_epoch, train_epoch
-
-    from cartnet_tpu.train.loop import build_lr_fn
+    from cartnet_tpu.train.loop import (build_lr_fn, eval_epoch, make_iou_fn,
+                                        train_epoch)
 
     train_pipe, val_pipe, test_pipe = pipes
     loggers = create_loggers(cfg.run_dir)
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(state.params))
+    for lg in loggers:
+        lg.params = n_params  # stats.json params field (logger/logger.py:42)
     wb = WandbLogger(wandb_project, wandb_entity, cfg.name, cfg,
                      enabled=wandb_enabled)
     dp, ep = cfg.parallel.dp, cfg.parallel.ep
@@ -211,10 +225,14 @@ def train(cfg: Config, state, model_apply, optimizer, pipes, resume=False,
                      "val_MAE %.5f", epoch, epoch_times[-1],
                      np.mean(epoch_times), best_epoch, best_val)
 
-    # final test with best params (train/train.py:114-117)
+    # final test with best params (train/train.py:114-117); on ADP targets
+    # the test epoch additionally logs the voxelized 3D IoU so stats.json has
+    # the full headline-table fields (MAE + S12 + IoU, reference
+    # train/metrics.py:201-214 consumed by test_metrics_adp.py:17-43)
     if ckpt.latest_step(best_dir) is not None:
         state, _ = ckpt.restore_checkpoint(best_dir, state)
-    eval_epoch(state, test_pipe, evals, loggers[2])
+    iou_fn = make_iou_fn() if cfg.model.cholesky else None
+    eval_epoch(state, test_pipe, evals, loggers[2], iou_fn=iou_fn)
     test_stats = loggers[2].write_epoch(best_epoch)  # logs itself
     wb.log({f"test/{k}": v for k, v in test_stats.items()})
     wb.finish()

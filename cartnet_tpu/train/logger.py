@@ -48,6 +48,7 @@ class EpochLogger:
         self.out_dir = out_dir
         if out_dir:
             os.makedirs(out_dir, exist_ok=True)
+        self.params = 0  # model param count (reference logger/logger.py:42)
         self.reset()
         self._time_total = 0.0
 
@@ -95,6 +96,7 @@ class EpochLogger:
                  "time_epoch": round(self._time_used, 5),
                  "time_iter": round(self._time_used / max(self._iters, 1), 6),
                  "lr": self._lr,
+                 "params": self.params,
                  **{k: v / size for k, v in self._sums.items()}}
         if self._edges > 0 and self._time_used > 0:
             # per-step throughput counter (SURVEY.md §5: the TPU-build

@@ -25,7 +25,8 @@ import optax
 
 from cartnet_tpu.config import Config
 from cartnet_tpu.data.schema import CrystalBatch
-from cartnet_tpu.train.metrics import masked_mae_mse
+from cartnet_tpu.train.metrics import (adp_stat_sums, masked_iou_sum,
+                                       masked_mae_mse)
 from cartnet_tpu.train.schedule import make_optimizer, reference_total_steps
 from cartnet_tpu.train.state import TrainState
 
@@ -36,7 +37,40 @@ def loss_fn(params, bn_state, batch: CrystalBatch, model_apply, cfg: Config,
                                      training=training)
     mae, mse = masked_mae_mse(pred, batch.y, mask)
     loss = mae if cfg.optim.loss == "MAE" else mse
-    return loss, (mae, mse, new_bn)
+    return loss, (mae, mse, new_bn, pred, mask)
+
+
+def _stats_with_adp(cfg: Config, base, pred, y, mask):
+    """Per-epoch ADP metrics the reference logs every train/val epoch
+    (volume_percentage_error + similarity_index,
+    /root/reference/train/metrics.py:183-238); no-op for scalar targets."""
+    if not cfg.model.cholesky:
+        return base
+    vol, sim, n = adp_stat_sums(jax.lax.stop_gradient(pred), y, mask)
+    n = jnp.maximum(n, 1.0)
+    return {**base, "volume_percentage_error": vol / n,
+            "similarity_index": sim / n}
+
+
+def target_weight(batch: CrystalBatch) -> float:
+    """Reference logger weighting: batch_size == true.shape[0] — non-H atoms
+    for ADP targets, graphs for scalar targets (logger/logger.py:72-80)."""
+    import numpy as np
+    mask = batch.non_h_mask if batch.y.ndim >= 3 else batch.graph_mask
+    return float(np.sum(np.asarray(mask)))
+
+
+def make_iou_fn(chunk: int = 128, num_points: int = 64):
+    """Jitted masked-mean 3D IoU over a padded [N,3,3] prediction stack;
+    test-time only (reference train/metrics.py:201-214)."""
+
+    @jax.jit
+    def iou_mean(pred, y, mask):
+        s, n = masked_iou_sum(pred, y, mask, chunk=chunk,
+                              num_points=num_points)
+        return s / jnp.maximum(n, 1.0)
+
+    return iou_mean
 
 
 def init_train_state(key, cfg: Config, model_init, optimizer) -> TrainState:
@@ -54,13 +88,15 @@ def make_steps(cfg: Config, model_apply, optimizer):
 
     @functools.partial(jax.jit, donate_argnums=0)
     def micro_step(state: TrainState, batch: CrystalBatch):
-        (loss, (mae, mse, new_bn)), grads = jax.value_and_grad(
+        (loss, (mae, mse, new_bn, pred, mask)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.bn_state, batch,
                                    model_apply, cfg, True)
         acc = jax.tree.map(jnp.add, state.grad_accum, grads)
         state = state.replace(bn_state=new_bn, grad_accum=acc,
                               accum_count=state.accum_count + 1)
-        return state, {"loss": loss, "MAE": mae, "MSE": mse}
+        stats = _stats_with_adp(cfg, {"loss": loss, "MAE": mae, "MSE": mse},
+                                pred, batch.y, mask)
+        return state, stats
 
     @functools.partial(jax.jit, donate_argnums=0)
     def update_step(state: TrainState):
@@ -79,7 +115,9 @@ def make_steps(cfg: Config, model_apply, optimizer):
                                     training=False)
         mae, mse = masked_mae_mse(pred, batch.y, mask)
         loss = mae if cfg.optim.loss == "MAE" else mse
-        return pred, mask, {"loss": loss, "MAE": mae, "MSE": mse}
+        stats = _stats_with_adp(cfg, {"loss": loss, "MAE": mae, "MSE": mse},
+                                pred, batch.y, mask)
+        return pred, mask, stats
 
     return micro_step, update_step, eval_step
 
@@ -111,7 +149,7 @@ def train_epoch(state: TrainState, batches: Iterable[CrystalBatch], micro_step,
                 opt_steps_before = int(state.step) - opt_steps
             lr = (float(lr_fn(opt_steps_before + opt_steps))
                   if lr_fn is not None else 0.0)
-            logger.update(stats, weight=float(np.sum(np.asarray(batch.graph_mask))),
+            logger.update(stats, weight=target_weight(batch),
                           lr=lr,
                           edges=float(np.sum(np.asarray(batch.edge_mask))))
     if micro_count % batch_accumulation != 0:  # epoch-end flush (train/train.py:186)
@@ -126,13 +164,17 @@ def train_epoch(state: TrainState, batches: Iterable[CrystalBatch], micro_step,
 
 
 def eval_epoch(state: TrainState, batches: Iterable[CrystalBatch], eval_step,
-               logger=None, collect=False):
+               logger=None, collect=False, iou_fn=None):
     """Eval pass; feeds masked pred/true to the logger for r2/spearman
     (reference logger/logger.py:51-58).
 
     All steps are dispatched first; device->host transfers of predictions
     happen in one pass afterwards so they overlap the remaining compute
     instead of blocking each batch.
+
+    ``iou_fn``: optional jitted masked-IoU mean (make_iou_fn) — pass at final
+    test on ADP targets to reproduce the reference's test-only ``iou`` stat
+    (train/metrics.py:201-214).
     """
     import numpy as np
     preds = []
@@ -140,8 +182,10 @@ def eval_epoch(state: TrainState, batches: Iterable[CrystalBatch], eval_step,
     t0 = time.time()
     for batch in batches:
         pred, mask, stats = eval_step(state.params, state.bn_state, batch)
+        if iou_fn is not None:
+            stats = {**stats, "iou": iou_fn(pred, batch.y, mask)}
         if logger is not None:
-            pending.append((stats, float(np.sum(np.asarray(batch.graph_mask))),
+            pending.append((stats, target_weight(batch),
                             pred, mask, batch.y,
                             float(np.sum(np.asarray(batch.edge_mask)))))
         if collect:
@@ -168,7 +212,7 @@ def make_fused_steps(cfg: Config, model_apply, optimizer, num_steps: int):
     import jax.lax as lax
 
     def one(state: TrainState, batch: CrystalBatch):
-        (loss, (mae, mse, new_bn)), grads = jax.value_and_grad(
+        (loss, (mae, mse, new_bn, _, _)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.bn_state, batch,
                                    model_apply, cfg, True)
         updates, opt_state = optimizer.update(grads, state.opt_state,

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 
 from cartnet_tpu.ops.linalg3 import det3, frobenius3, inv3
@@ -66,6 +67,61 @@ def get_kl(pred, true):
     tr = jnp.trace(jnp.matmul(ip, true), axis1=-2, axis2=-1)
     logdet = jnp.log(det3(pred) / det3(true))
     return 0.5 * (tr - 3.0 + logdet)
+
+
+def _safe33(u, mask):
+    """Replace pad rows of a [N,3,3] stack with I so det/inv stay finite.
+
+    Pad predictions/targets are garbage/zeros; any NaN/Inf they produce would
+    poison masked reductions (NaN * 0 == NaN)."""
+    eye = jnp.eye(3, dtype=u.dtype)
+    return jnp.where(mask[:, None, None], u, eye)
+
+
+def adp_stat_sums(pred, true, mask):
+    """Masked sums of the per-epoch ADP metrics the reference logs at every
+    train/val epoch (volume_percentage_error + similarity_index,
+    /root/reference/train/metrics.py:183-238).
+
+    Returns (vol_sum, sim_sum, count) so callers can weight/psum exactly like
+    the reference's batch_size-weighted CustomLogger accumulation
+    (logger/logger.py:69-89, batch_size == number of target atoms)."""
+    p = _safe33(pred.astype(jnp.float32), mask)
+    t = _safe33(true.astype(jnp.float32), mask)
+    mf = mask.astype(jnp.float32)
+    vol = jnp.sum(get_error_volume(p, t) * mf)
+    sim = jnp.sum(get_similarity_index(p, t) * mf)
+    return vol, sim, jnp.sum(mf)
+
+
+def masked_iou_sum(pred, true, mask, chunk: int = 128, num_points: int = 64):
+    """Masked (sum, count) of the voxelized 3D IoU, chunked over atoms.
+
+    One [N, 64^3] map would be ~GBs at padded batch sizes; lax.map evaluates
+    fixed-size [chunk, 64^3] blocks sequentially so peak memory stays at
+    chunk * num_points^3 * (f32 + 2 bool). Test-time only (reference runs IoU
+    only at test, train/metrics.py:201-214)."""
+    n = pred.shape[0]
+    pad = (-n) % chunk
+    p = _safe33(pred.astype(jnp.float32), mask)
+    t = _safe33(true.astype(jnp.float32), mask)
+    mf = mask.astype(jnp.float32)
+    if pad:
+        eye = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (pad, 3, 3))
+        p = jnp.concatenate([p, eye])
+        t = jnp.concatenate([t, eye])
+        mf = jnp.concatenate([mf, jnp.zeros((pad,), jnp.float32)])
+    nc = p.shape[0] // chunk
+    p = p.reshape(nc, chunk, 3, 3)
+    t = t.reshape(nc, chunk, 3, 3)
+    mc = mf.reshape(nc, chunk)
+
+    def body(args):
+        pc, tc, m = args
+        return jnp.sum(compute_3d_iou(pc, tc, num_points) * m)
+
+    sums = jax.lax.map(body, (p, t, mc))
+    return jnp.sum(sums), jnp.sum(mf)
 
 
 def _ellipsoid_masks(u, num_points: int = 64):

@@ -180,3 +180,111 @@ def test_pipeline_shuffle_and_augment_determinism():
     b1b = list(p1)
     assert not np.allclose(np.asarray(b1[0].cart_dir),
                            np.asarray(b1b[0].cart_dir))
+
+
+def test_megnet_bulk_shear_pickle_splits(tmp_path):
+    """bulk/shear megnet load PRE-SPLIT pickles with the usable-target filter
+    and no seed-123 reshuffle (reference loader/loader.py:44-79)."""
+    import pickle
+    rng = np.random.default_rng(1)
+
+    def entry(val):
+        n = int(rng.integers(2, 5))
+        return {"atoms": {"lattice_mat": (np.eye(3) * 5).tolist(),
+                          "coords": rng.uniform(0, 5, (n, 3)).tolist(),
+                          "elements": ["Si"] * n, "cartesian": True},
+                "bulk modulus": val}
+
+    splits = {"train": [entry(float(i)) for i in range(6)] + [entry(None)],
+              "val": [entry(10.0), entry(float("nan"))],
+              "test": [entry(20.0), entry("na"), entry(21.0)]}
+    for sname, entries in splits.items():
+        with open(tmp_path / f"bulk_megnet_{sname}.pkl", "wb") as f:
+            pickle.dump(entries, f)
+
+    tr, va, te = build_dataset("megnet", "bulk modulus", str(tmp_path))
+    assert (len(tr), len(va), len(te)) == (6, 1, 2)  # filtered per split
+    # split order preserved (no reshuffle): targets are the values in order
+    assert [float(r["y"]) for r in tr] == [0., 1., 2., 3., 4., 5.]
+    assert [float(r["y"]) for r in te] == [20.0, 21.0]
+    # cached reload identical
+    tr2, _, _ = build_dataset("megnet", "bulk modulus", str(tmp_path))
+    assert [float(r["y"]) for r in tr2] == [float(r["y"]) for r in tr]
+    # missing files give the actionable error
+    with pytest.raises(FileNotFoundError, match="figshare"):
+        build_dataset("megnet", "shear modulus", str(tmp_path))
+
+
+def _save_adp_pt(path, rec):
+    """Write a reference-format per-refcode .pt (attribute-style graph)."""
+    import torch
+    from types import SimpleNamespace
+    data = SimpleNamespace(
+        x=torch.tensor(rec["z"], dtype=torch.long),
+        pos=torch.tensor(rec["pos"]),
+        cell=torch.tensor(rec["cell"]).reshape(1, 3, 3),
+        edge_index=torch.tensor(
+            np.stack([rec["edge_src"], rec["edge_dst"]])),
+        cart_dist=torch.tensor(rec["cart_dist"]).unsqueeze(-1),
+        cart_dir=torch.tensor(rec["cart_dir"]),
+        y=torch.tensor(rec["y"]),
+        temperature=torch.tensor([rec.get("temperature", 200.0)]))
+    torch.save(data, path)
+
+
+def test_adp_knn_re_edging_matches_radius_graph(tmp_path):
+    """Comformer-on-ADP re-edging: ADPDataset(max_neighbors=k) must replace
+    the stored edges with radius_graph_pbc(..., k) of the RAW (pre-H-removal)
+    graph, and cache like the reference's data_<k>_<r>/ dir
+    (dataset/utils.py:456-486, loader/loader.py:24-28)."""
+    from cartnet_tpu.data.adp import ADPDataset
+    from cartnet_tpu.data.radius_graph import radius_graph_pbc
+    rng = np.random.default_rng(3)
+    root = tmp_path / "data"
+    root.mkdir()
+    refcodes = []
+    for i in range(3):
+        rec = random_crystal(rng, int(rng.integers(6, 12)), adp=True)
+        rec["z"][0] = 1  # ensure at least one H so removal matters
+        name = f"REF{i:03d}"
+        _save_adp_pt(root / f"{name}.pt", rec)
+        refcodes.append(name)
+    csv = tmp_path / "train_files.csv"
+    csv.write_text("\n".join(refcodes) + "\n")
+
+    k, radius = 3, 5.0
+    ds = ADPDataset(str(root), str(csv), hydrogens=True, max_neighbors=k,
+                    radius=radius)
+    for i, name in enumerate(refcodes):
+        got = ds.get(i)
+        raw = torch_raw = None
+        from cartnet_tpu.data.adp import load_pt_raw
+        raw = load_pt_raw(str(root / f"{name}.pt"))
+        src, dst, dist, cdir = radius_graph_pbc(
+            raw["pos"].astype(np.float64), raw["cell"].astype(np.float64),
+            radius, k)
+        np.testing.assert_array_equal(got["edge_src"], src)
+        np.testing.assert_array_equal(got["edge_dst"], dst)
+        np.testing.assert_allclose(got["cart_dist"], dist, rtol=1e-6)
+        # the cap binds (degeneracy tolerance may keep ties: reference
+        # get_max_neighbors_mask, dataset/utils.py:240-360)
+        assert len(got["edge_src"]) <= len(raw["edge_src"])
+    # cache dir mirrors the reference layout and is reused
+    cache = tmp_path / f"data_{k}_{radius}"
+    assert cache.is_dir() and len(list(cache.glob("*.npz"))) == 3
+    got2 = ds.get(0)
+    np.testing.assert_array_equal(got2["edge_src"], ds.get(0)["edge_src"])
+
+    # H-removal composes AFTER re-edging (reference order): no H left, edges
+    # re-indexed within the capped edge set
+    ds_noh = ADPDataset(str(root), str(csv), hydrogens=False, max_neighbors=k,
+                        radius=radius)
+    rec_noh = ds_noh.get(0)
+    assert (rec_noh["z"] != 1).all()
+    assert len(rec_noh["edge_src"]) <= len(ds.get(0)["edge_src"])
+
+    # CartNet path (max_neighbors=None) keeps the stored edges
+    ds_plain = ADPDataset(str(root), str(csv), hydrogens=True)
+    raw0 = load_pt_raw(str(root / f"{refcodes[0]}.pt"))
+    np.testing.assert_array_equal(ds_plain.get(0)["edge_src"],
+                                  raw0["edge_src"])

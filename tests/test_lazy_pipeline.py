@@ -1,0 +1,121 @@
+"""Memory-bounded streaming pipeline (reference streams per-refcode .pt via
+DataLoader workers, loader/loader.py:115-123; round-1 eagerly materialized the
+whole split). Verifies: lazy ADP views feed BatchPipeline correctly, pad
+sizing runs off the counts sidecar, large eval splits skip batch caching, and
+a full-dataset-scale (50k-record) epoch iterates under a fixed RSS budget."""
+
+import os
+
+import numpy as np
+import pytest
+
+from cartnet_tpu.data.pipeline import BatchPipeline, record_counts
+
+
+def _rss_mb() -> float:
+    with open("/proc/self/statm") as f:
+        return int(f.read().split()[1]) * os.sysconf("SC_PAGE_SIZE") / 2**20
+
+
+class SynthLazy:
+    """50k-scale lazy record source: deterministic ring graphs, built on
+    __getitem__ (no radius-graph cost so the test stays fast)."""
+
+    def __init__(self, n, atoms=10):
+        self.n, self.atoms = n, atoms
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        if not (0 <= i < self.n):
+            raise IndexError(i)
+        rng = np.random.default_rng(i)
+        k = self.atoms
+        src = np.arange(k, dtype=np.int64)
+        dst = (src + 1) % k
+        src2 = np.concatenate([src, dst])
+        dst2 = np.concatenate([dst, src])
+        order = np.argsort(dst2, kind="stable")
+        d = rng.uniform(1.0, 2.0, 2 * k).astype(np.float32)
+        v = rng.normal(size=(2 * k, 3)).astype(np.float32)
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        return {"z": rng.integers(1, 80, k).astype(np.int32),
+                "pos": rng.uniform(0, 5, (k, 3)).astype(np.float32),
+                "cell": np.eye(3, dtype=np.float32) * 5,
+                "edge_src": src2[order], "edge_dst": dst2[order],
+                "cart_dist": d[order], "cart_dir": v[order],
+                "temperature": 0.0,
+                "y": np.float32(rng.normal())}
+
+    def counts(self):
+        n = np.full(self.n, self.atoms, np.int64)
+        return n, 2 * n
+
+
+def test_counts_path_avoids_materialization():
+    recs = SynthLazy(50_000)
+    nodes, edges = record_counts(recs)
+    assert len(nodes) == 50_000 and edges.sum() == 50_000 * 20
+
+
+def test_large_eval_pipeline_skips_batch_cache():
+    small = BatchPipeline(SynthLazy(64), 4, 256, 1024)
+    assert small.cache  # tiny eval split: caching is the win
+    big = BatchPipeline(SynthLazy(2_000_000), 4, 4096, 65536)
+    assert not big.cache  # ADP-scale: caching would pin GBs
+
+
+@pytest.mark.parametrize("workers", [0, 2])
+def test_50k_epoch_under_rss_budget(workers):
+    recs = SynthLazy(50_000)
+    pipe = BatchPipeline(recs, 64, shuffle=True, seed=0, workers=workers,
+                         prefetch=2)
+    start = _rss_mb()
+    seen_nodes = 0
+    peak_delta = 0.0
+    for i, b in enumerate(pipe):
+        seen_nodes += int(b.node_mask.sum())
+        if i % 100 == 0:
+            peak_delta = max(peak_delta, _rss_mb() - start)
+    assert seen_nodes == 50_000 * 10
+    peak_delta = max(peak_delta, _rss_mb() - start)
+    # materialized split would be ~50k * (record bytes) >> budget; streaming
+    # holds only prefetch+batch working set
+    assert peak_delta < 256, f"RSS grew {peak_delta:.0f} MB"
+
+
+def test_lazy_adp_records_and_counts_sidecar(tmp_path):
+    """LazyRecords over real .pt files: streaming get + sidecar counts."""
+    from cartnet_tpu.data.adp import ADPDataset, LazyRecords
+    from cartnet_tpu.data.synthetic import random_crystal
+    from tests.test_datasets import _save_adp_pt
+    rng = np.random.default_rng(5)
+    root = tmp_path / "data"
+    root.mkdir()
+    names = []
+    for i in range(6):
+        rec = random_crystal(rng, int(rng.integers(4, 9)), adp=True)
+        _save_adp_pt(root / f"R{i}.pt", rec)
+        names.append(f"R{i}")
+    csv = tmp_path / "train_files.csv"
+    csv.write_text("\n".join(names) + "\n")
+    ds = ADPDataset(str(root), str(csv))
+    lazy = LazyRecords(ds)
+    assert len(lazy) == 6
+    nodes, edges = lazy.counts()
+    for i in range(6):
+        r = lazy[i]
+        assert len(r["z"]) == nodes[i] and len(r["edge_src"]) == edges[i]
+    # sidecar cached next to the data dir; second call is pure read
+    sidecars = list(tmp_path.glob("sizes_*train_files.npy"))
+    assert len(sidecars) == 1
+    nodes2, _ = LazyRecords(ds).counts()
+    np.testing.assert_array_equal(nodes, nodes2)
+    # limited view
+    lim = LazyRecords(ds, limit=3)
+    assert len(lim) == 3 and len(lim.counts()[0]) == 3
+    # feeds a pipeline end to end
+    pipe = BatchPipeline(lim, 2)
+    batches = list(pipe)
+    assert sum(int(b.graph_mask.sum()) for b in batches) == 3
