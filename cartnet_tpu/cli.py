@@ -57,17 +57,31 @@ def build_parser() -> argparse.ArgumentParser:
                    dest="use_atom_types")
     p.add_argument("--dp", type=int, default=1, help="data-parallel mesh axis")
     p.add_argument("--ep", type=int, default=1, help="edge-parallel mesh axis")
+    p.add_argument("--halo", action="store_true",
+                   help="halo edge partitioning: shard nodes over ep too; "
+                        "per-layer comms = boundary-atom all_to_all instead "
+                        "of a full [N,d] all-reduce")
+    p.add_argument("--halo_max", type=int, default=None,
+                   help="static per-owner halo row cap (default: nodes/ep)")
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
     p.add_argument("--resume", action="store_true",
                    help="resume from the run's checkpoint dir")
     p.add_argument("--limit", type=int, default=None,
                    help="truncate dataset (smoke runs)")
+    p.add_argument("--buckets", type=int, default=1,
+                   help="size-quantile buckets with per-bucket pad shapes "
+                        "(dp=1 only); bounds pad waste from size tails")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (the container sitecustomize "
                         "pins jax_platforms to the axon TPU tunnel)")
     p.add_argument("--cholesky", action="store_true",
                    help="force the Cholesky ADP head (e.g. synthetic ADP runs; "
                         "implied by --dataset ADP)")
+    p.add_argument("--coordinator", type=str, default=None,
+                   help="multi-host: jax.distributed coordinator address "
+                        "(host:port); omit on single host")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of the first train "
                         "epoch to <run_dir>/profile (view with xprof/"
@@ -98,11 +112,14 @@ def args_to_config(args) -> Config:
         radius=args.radius, max_neighbors=max_neigh, batch_size=args.batch,
         augment=augment, use_hydrogens=args.use_H,
         standarize_temp=args.standarize_temp,
-        optimize_cell=(model_name == "icomformer"))
+        optimize_cell=(model_name == "icomformer"),
+        buckets=getattr(args, "buckets", 1))
     optim = OptimConfig(
         lr=args.lr, max_epoch=args.epochs, warmup=args.warmup,
         batch_accumulation=args.batch_accumulation, loss=args.loss)
-    par = ParallelConfig(dp=args.dp, ep=args.ep)
+    par = ParallelConfig(dp=args.dp, ep=args.ep,
+                         halo=getattr(args, "halo", False),
+                         halo_max=getattr(args, "halo_max", None))
     run_dir = os.path.join("results", args.name, str(args.seed))
     return Config(model=model, data=data, optim=optim, parallel=par,
                   seed=args.seed, name=args.name, run_dir=run_dir)
@@ -163,6 +180,10 @@ def main(argv=None):
         jax.config.update("jax_compilation_cache_dir",
                           os.path.abspath(".jax_cache"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if args.coordinator:
+        from cartnet_tpu.utils import initialize_distributed
+        initialize_distributed(args.coordinator, args.num_processes,
+                               args.process_id)
     cfg = args_to_config(args)
     from cartnet_tpu.runner import run
     run(cfg, args)

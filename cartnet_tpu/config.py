@@ -60,6 +60,10 @@ class DataConfig:
     max_nodes: int = 1024
     max_edges: int = 16384
     max_graphs: int = 64  # = batch_size (one pad graph slot is added on top)
+    # size-quantile bucketing: each bucket gets its own pad shapes (one XLA
+    # compilation per bucket) — bounds pad waste from heavy size tails.
+    # Only for dp=1 runs (dp super-batches must share shapes).
+    buckets: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

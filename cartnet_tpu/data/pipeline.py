@@ -75,10 +75,29 @@ class BatchPipeline:
                  shuffle: bool = False, augment: bool = False,
                  rotate_targets: bool = True, seed: int = 0,
                  drop_last: bool = False, prefetch: int = 2,
-                 cache: Optional[bool] = None, workers: int = 0):
+                 cache: Optional[bool] = None, workers: int = 0,
+                 buckets: int = 1):
+        """``buckets`` > 1: records are split into size quantiles (by edge
+        count), each bucket padded to ITS OWN worst batch — bounds the pad
+        waste a heavy size tail causes under a single global shape, at the
+        cost of one XLA compilation per bucket. Bucket order is shuffled per
+        epoch; batches never mix buckets."""
         self.records = records
         self.batch_size = batch_size
-        if max_nodes is None or max_edges is None:
+        self.buckets = max(1, buckets)
+        self._bucket_idx: Optional[List[np.ndarray]] = None
+        self._bucket_sizes: Optional[List[tuple]] = None
+        if self.buckets > 1:
+            nodes, edges = record_counts(records)
+            order = np.argsort(edges, kind="stable")
+            self._bucket_idx = [b for b in np.array_split(order, self.buckets)
+                                if len(b)]
+            self._bucket_sizes = [
+                choose_pad_sizes_from_counts(nodes[b], edges[b], batch_size)
+                for b in self._bucket_idx]
+            max_nodes = max(s[0] for s in self._bucket_sizes)
+            max_edges = max(s[1] for s in self._bucket_sizes)
+        elif max_nodes is None or max_edges is None:
             max_nodes, max_edges = choose_pad_sizes(records, batch_size)
         self.max_nodes, self.max_edges = max_nodes, max_edges
         self.shuffle = shuffle
@@ -102,6 +121,10 @@ class BatchPipeline:
         return self.max_nodes * 64 + self.max_edges * 33
 
     def __len__(self):
+        if self._bucket_idx is not None:
+            div = (lambda n: n // self.batch_size) if self.drop_last else (
+                lambda n: -(-n // self.batch_size))
+            return sum(div(len(b)) for b in self._bucket_idx)
         n = len(self.records)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
@@ -113,10 +136,7 @@ class BatchPipeline:
             return list(self._pool.map(self.records.__getitem__, idxs))
         return [self.records[j] for j in idxs]
 
-    def _make_batches(self) -> Iterator[CrystalBatch]:
-        order = np.arange(len(self.records))
-        if self.shuffle:
-            self._rng.shuffle(order)
+    def _emit(self, order, mn, me) -> Iterator[CrystalBatch]:
         bs = self.batch_size
         stop = (len(order) // bs) * bs if self.drop_last else len(order)
         for i in range(0, stop, bs):
@@ -124,7 +144,23 @@ class BatchPipeline:
             if self.augment:
                 recs = [augment_record(r, self._rng, self.rotate_targets)
                         for r in recs]
-            yield collate(recs, self.max_nodes, self.max_edges, bs)
+            yield collate(recs, mn, me, bs)
+
+    def _make_batches(self) -> Iterator[CrystalBatch]:
+        if self._bucket_idx is not None:
+            border = np.arange(len(self._bucket_idx))
+            if self.shuffle:
+                self._rng.shuffle(border)
+            for bi in border:
+                order = self._bucket_idx[bi].copy()
+                if self.shuffle:
+                    self._rng.shuffle(order)
+                yield from self._emit(order, *self._bucket_sizes[bi])
+            return
+        order = np.arange(len(self.records))
+        if self.shuffle:
+            self._rng.shuffle(order)
+        yield from self._emit(order, self.max_nodes, self.max_edges)
 
     def __iter__(self) -> Iterator[CrystalBatch]:
         if self.cache:

@@ -60,10 +60,11 @@ def _partition_nodes(node_mask: np.ndarray, graph_id: np.ndarray,
         # prefer the edge-balanced cut if it fits, else the cap
         hi_bal = int(np.searchsorted(cum_edges, target_edges))
         hi = min(max(hi_bal, lo), hi_cap)
-        # snap to a graph boundary inside (lo, hi] when available
-        snaps = graph_starts[(graph_starts > lo) & (graph_starts <= hi)]
+        # snap to the graph boundary nearest the balanced cut within
+        # (lo, hi_cap] — graph-aligned cuts cost zero halo
+        snaps = graph_starts[(graph_starts > lo) & (graph_starts <= hi_cap)]
         if len(snaps):
-            hi = int(snaps[-1])
+            hi = int(snaps[np.argmin(np.abs(snaps - hi))])
         if hi <= lo and nr > lo:
             hi = min(lo + 1, hi_cap) if hi_cap > lo else lo
         bounds.append(hi)

@@ -79,9 +79,15 @@ def _pipelines(cfg: Config, splits):
     # lazy (ADP-scale) sources stream via a fetch pool; in-memory lists don't
     # need one
     workers = 0 if isinstance(train, list) else 4
+    buckets = cfg.data.buckets
+    if buckets > 1 and cfg.parallel.dp > 1:
+        logging.warning("buckets>1 requires dp=1 (dp super-batches must "
+                        "share shapes); using a single bucket")
+        buckets = 1
     mk = lambda recs, shuffle, augment, bs: BatchPipeline(
         recs, bs, mn, me, shuffle=shuffle, augment=augment,
-        rotate_targets=cfg.model.cholesky, seed=cfg.seed, workers=workers)
+        rotate_targets=cfg.model.cholesky, seed=cfg.seed, workers=workers,
+        buckets=buckets)
     return (mk(train, True, cfg.data.augment, cfg.data.batch_size),
             mk(val, False, False, cfg.data.batch_size),
             mk(test, False, False, cfg.data.batch_size))
@@ -162,12 +168,18 @@ def train(cfg: Config, state, model_apply, optimizer, pipes, resume=False,
         from cartnet_tpu.parallel.mesh import make_mesh
         from cartnet_tpu.parallel.step import make_parallel_steps
         mesh = make_mesh(dp, ep)
+        halo = cfg.parallel.halo and ep > 1
         micro, update, evals = make_parallel_steps(cfg, model_apply, optimizer,
-                                                   mesh)
-        train_pipe = ShardedPipeline(train_pipe, dp)
-        val_pipe = ShardedPipeline(val_pipe, dp)
-        test_pipe = ShardedPipeline(test_pipe, dp)
-        logging.info("mesh: dp=%d x ep=%d over %d devices", dp, ep, dp * ep)
+                                                   mesh, halo=halo)
+        transform = None
+        if halo:
+            from cartnet_tpu.parallel.halo import to_halo
+            transform = lambda b: to_halo(b, ep, cfg.parallel.halo_max)
+        train_pipe = ShardedPipeline(train_pipe, dp, transform)
+        val_pipe = ShardedPipeline(val_pipe, dp, transform)
+        test_pipe = ShardedPipeline(test_pipe, dp, transform)
+        logging.info("mesh: dp=%d x ep=%d over %d devices%s", dp, ep, dp * ep,
+                     " (halo edge partitioning)" if halo else "")
     else:
         micro, update, evals = make_steps(cfg, model_apply, optimizer)
     lr_fn = build_lr_fn(cfg, len(train_pipe))

@@ -1,0 +1,137 @@
+"""Scaling-efficiency harness: edges/s across (dp, ep) mesh layouts.
+
+Measures the sharded train step on every feasible (dp, ep) factorization of
+the available devices, for both the replicated-node ep layout and the halo
+layout, and reports scaling efficiency vs the single-device step plus the
+per-layer comms-bytes model (parallel/halo.py). The ≥80% 1→N target
+(BASELINE.md) is judged on real multi-chip hardware; on the 8-virtual-CPU
+mesh this validates the harness and the comms accounting, not absolute perf.
+
+Run (CPU mesh):  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+                 PYTHONPATH=/root/repo:/root/.axon_site python scripts/scaling_bench.py
+Run (real pod):  PYTHONPATH=... python scripts/scaling_bench.py
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def _sync(x):
+    import jax
+    np.asarray(jax.device_get(jax.tree.leaves(x)[0]))
+
+
+def timed(fn, *args, reps=3):
+    out = fn(*args)
+    _sync(out)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        _sync(out)
+        best = min(best, time.perf_counter() - t0)
+    return best, out
+
+
+def main():
+    import jax
+    if jax.devices()[0].platform == "cpu":
+        print("# NOTE: virtual CPU mesh — harness/comms validation only")
+    import jax.numpy as jnp
+    from cartnet_tpu.config import (Config, DataConfig, ModelConfig,
+                                    OptimConfig, ParallelConfig)
+    from cartnet_tpu.data.batching import collate
+    from cartnet_tpu.data.synthetic import synthetic_dataset
+    from cartnet_tpu.models.cartnet import cartnet_apply, cartnet_init
+    from cartnet_tpu.parallel.halo import comms_bytes_per_layer, to_halo
+    from cartnet_tpu.parallel.mesh import make_mesh
+    from cartnet_tpu.parallel.step import make_parallel_steps, stack_for_shards
+    from cartnet_tpu.train.loop import (build_optimizer, init_train_state,
+                                        make_steps)
+
+    n_dev = len(jax.devices())
+    dim, layers, graphs_per_slice = 64, 4, 4
+    n_per_slice, e_per_slice = 512, 8192
+
+    def slice_batch(seed):
+        recs = synthetic_dataset(graphs_per_slice, mean_atoms=96, radius=5.0,
+                                 adp=True, seed=seed)
+        return collate(recs, n_per_slice, e_per_slice, graphs_per_slice)
+
+    def cfg_for(dp, ep, halo):
+        return Config(
+            model=ModelConfig(dim_in=dim, dim_rbf=16, num_layers=layers,
+                              cholesky=True),
+            data=DataConfig(max_nodes=n_per_slice, max_edges=e_per_slice,
+                            max_graphs=graphs_per_slice),
+            optim=OptimConfig(lr=1e-3, batch_accumulation=1),
+            parallel=ParallelConfig(dp=dp, ep=ep, halo=halo))
+
+    results = []
+
+    # single-device baseline (same per-slice workload)
+    cfg1 = cfg_for(1, 1, False)
+    b1 = slice_batch(0)
+    real_edges = int(np.asarray(b1.edge_mask).sum())
+    opt = build_optimizer(cfg1, 100)
+    st = init_train_state(jax.random.key(0), cfg1, cartnet_init, opt)
+    micro, update, _ = make_steps(cfg1, cartnet_apply, opt)
+    bj = jax.tree.map(jnp.asarray, b1)
+
+    def one_step(st):
+        st, _ = micro(st, bj)
+        return update(st)
+
+    t1, st = timed(one_step, st)
+    base_eps = real_edges / t1
+    results.append({"layout": "1x1", "halo": False,
+                    "edges_per_sec": round(base_eps, 1), "efficiency": 1.0,
+                    "comms_bytes_per_layer": 0})
+    print(json.dumps(results[-1]), flush=True)
+
+    layouts = []
+    for dp in range(1, n_dev + 1):
+        if n_dev % dp == 0:
+            ep = n_dev // dp
+            layouts.append((dp, ep))
+    for dp, ep in layouts:
+        for halo in ([False] if ep == 1 else [False, True]):
+            cfg = cfg_for(dp, ep, halo)
+            mesh = make_mesh(dp, ep)
+            slices = [slice_batch(i) for i in range(dp)]
+            if halo:
+                slices_t = [to_halo(s, ep) for s in slices]
+                cb = comms_bytes_per_layer(slices_t[0], dim)
+                comms = cb[0]
+            else:
+                slices_t = slices
+                comms = (int(2 * (ep - 1) / ep * n_per_slice * dim * 4)
+                         if ep > 1 else 0)
+            stacked = stack_for_shards(slices_t)
+            opt = build_optimizer(cfg, 100)
+            st = init_train_state(jax.random.key(0), cfg, cartnet_init, opt)
+            pm, pu, _ = make_parallel_steps(cfg, cartnet_apply, opt, mesh,
+                                            halo=halo)
+
+            def pstep(st):
+                st, _ = pm(st, stacked)
+                return pu(st)
+
+            t, st = timed(pstep, st)
+            eps = real_edges * dp / t
+            results.append({
+                "layout": f"{dp}x{ep}", "halo": halo,
+                "edges_per_sec": round(eps, 1),
+                "efficiency": round(eps / (base_eps * dp * ep), 4),
+                "comms_bytes_per_layer": comms})
+            print(json.dumps(results[-1]), flush=True)
+
+    print(json.dumps({"scaling_sweep": results}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,229 @@
+"""Halo edge partitioning (parallel/halo.py): nodes + edges sharded over ep.
+
+Proofs on the 8-virtual-CPU mesh (SURVEY.md §4.3):
+  * to_halo planning invariants (ownership, local dst sortedness, src table
+    ids, graph-boundary snapping -> empty halo for separable batches);
+  * sharded loss/grads/BN equal the single-device step for BOTH separable
+    (halo = 0) and split-graph (halo > 0) batches;
+  * counted comms-bytes reduction vs the replicated psum layout.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cartnet_tpu.config import Config, DataConfig, ModelConfig, OptimConfig
+from cartnet_tpu.data.batching import collate
+from cartnet_tpu.data.synthetic import synthetic_dataset
+from cartnet_tpu.models.cartnet import cartnet_apply, cartnet_init
+from cartnet_tpu.parallel.halo import comms_bytes_per_layer, to_halo
+from cartnet_tpu.parallel.mesh import make_mesh
+from cartnet_tpu.parallel.step import make_parallel_steps, stack_for_shards
+from cartnet_tpu.train.loop import build_optimizer, init_train_state, make_steps
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+DP, EP = 2, 4
+
+
+def _cfg(cholesky, halo=True):
+    from cartnet_tpu.config import ParallelConfig
+    return Config(
+        model=ModelConfig(dim_in=16, dim_rbf=8, num_layers=2,
+                          cholesky=cholesky),
+        data=DataConfig(max_nodes=64, max_edges=2048, max_graphs=4),
+        optim=OptimConfig(lr=1e-3, batch_accumulation=1),
+        parallel=ParallelConfig(dp=DP, ep=EP, halo=halo))
+
+
+def _slice_batches(cholesky, seed=0, graphs=4, atoms=8):
+    """DP per-slice collated batches + the single-device merged batch."""
+    recs = synthetic_dataset(DP * graphs, mean_atoms=atoms, adp=cholesky,
+                             seed=seed)
+    slices = [collate(recs[i * graphs:(i + 1) * graphs], 64, 2048, 4)
+              for i in range(DP)]
+    merged = collate(recs, DP * 64, DP * 2048, DP * 4)
+    return slices, merged
+
+
+def _one_big_graph(cholesky, seed=1):
+    """A single crystal that MUST split across ep members (the CP analogue)."""
+    recs = synthetic_dataset(DP, mean_atoms=40, adp=cholesky, seed=seed)
+    slices = [collate([recs[i]], 64, 2048, 4) for i in range(DP)]
+    merged = collate(recs, DP * 64, DP * 2048, DP * 4)
+    return slices, merged
+
+
+def test_to_halo_invariants_separable():
+    slices, _ = _slice_batches(False)
+    hb = to_halo(slices[0], EP, h_max=16)
+    n_per, e_per = 64 // EP, 2048 // EP
+    # separable batch (graphs fit members): empty halo
+    assert int(np.asarray(hb.halo_send_mask).sum()) == 0
+    emask = np.asarray(hb.edge_mask)
+    dst = np.asarray(hb.edge_dst)
+    src = np.asarray(hb.edge_src)
+    nmask = np.asarray(hb.node_mask)
+    assert nmask.sum() == np.asarray(slices[0].node_mask).sum()
+    assert emask.sum() == np.asarray(slices[0].edge_mask).sum()
+    for m in range(EP):
+        esl = slice(m * e_per, (m + 1) * e_per)
+        d = dst[esl][emask[esl]]
+        assert (np.diff(d) >= 0).all()          # dst-sorted per member
+        assert (d < n_per).all()                # member-local ids
+        assert (src[esl][emask[esl]] < n_per).all()  # all-local src
+
+
+def _chain_graph(cholesky, n=48):
+    """One spatially-local crystal (atoms on a line, radius couples +-2):
+    contiguous index cuts have O(1) boundary — the halo's favorable case."""
+    rng = np.random.default_rng(7)
+    pos = np.zeros((n, 3), np.float32)
+    pos[:, 0] = np.arange(n, dtype=np.float32)
+    src, dst = [], []
+    for d in (1, 2):
+        a = np.arange(n - d)
+        src += [a, a + d]
+        dst += [a + d, a]
+    src = np.concatenate(src).astype(np.int64)
+    dst = np.concatenate(dst).astype(np.int64)
+    vec = (pos[src] - pos[dst])
+    dist = np.linalg.norm(vec, axis=1).astype(np.float32)
+    rec = {"z": rng.integers(2, 60, n).astype(np.int32), "pos": pos,
+           "cell": np.eye(3, dtype=np.float32) * (n + 10.0),
+           "edge_src": src, "edge_dst": dst, "cart_dist": dist,
+           "cart_dir": (vec / dist[:, None]).astype(np.float32),
+           "temperature": 100.0}
+    if cholesky:
+        a = rng.normal(size=(n, 3, 3)).astype(np.float32) * 0.3
+        rec["y"] = np.einsum("nij,nkj->nik", a, a) + 0.2 * np.eye(
+            3, dtype=np.float32)
+    else:
+        rec["y"] = np.float32(rng.normal())
+    return rec
+
+
+def test_to_halo_split_graph_has_bounded_halo():
+    rec = _chain_graph(False)
+    b = collate([rec], 64, 512, 4)
+    hb = to_halo(b, EP, h_max=16)
+    sent = int(np.asarray(hb.halo_send_mask).sum())
+    assert sent > 0  # the single graph genuinely splits
+    # contiguous cuts of a local graph ship only O(1) boundary rows per pair
+    real_nodes = int(np.asarray(b.node_mask).sum())
+    assert sent <= 2 * 2 * (EP - 1)  # +-2 coupling, ep-1 internal boundaries
+    assert sent < real_nodes
+    halo_b, psum_b = comms_bytes_per_layer(hb, dim=16)
+    assert halo_b < psum_b / 3  # counted comms reduction vs replicated layout
+
+
+def test_halo_chain_step_matches_single_device():
+    """Split chain crystal: halo path == single device (loss + grads)."""
+    cfg = _cfg(True)
+    recs = [_chain_graph(True), _chain_graph(True)]
+    slices = [collate([r], 64, 512, 4) for r in recs]
+    merged = collate(recs, DP * 64, DP * 512, DP * 4)
+    stacked = stack_for_shards([to_halo(s, EP, h_max=16) for s in slices])
+    mesh = make_mesh(DP, EP)
+    opt = build_optimizer(cfg, 4)
+    state_p = init_train_state(jax.random.key(0), cfg, cartnet_init, opt)
+    state_s = init_train_state(jax.random.key(0), cfg, cartnet_init, opt)
+    pmicro, _, _ = make_parallel_steps(cfg, cartnet_apply, opt, mesh,
+                                       halo=True)
+    smicro, _, _ = make_steps(cfg, cartnet_apply, opt)
+    state_p, stats_p = pmicro(state_p, stacked)
+    state_s, stats_s = smicro(state_s, merged)
+    np.testing.assert_allclose(float(stats_p["loss"]), float(stats_s["loss"]),
+                               rtol=1e-4)
+    for gp, gs in zip(jax.tree.leaves(state_p.grad_accum),
+                      jax.tree.leaves(state_s.grad_accum)):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gs),
+                                   rtol=1e-2, atol=2e-5)
+
+
+@pytest.mark.parametrize("cholesky", [False, True])
+@pytest.mark.parametrize("data_fn", [_slice_batches, _one_big_graph])
+def test_halo_micro_step_matches_single_device(cholesky, data_fn):
+    cfg = _cfg(cholesky)
+    slices, merged = data_fn(cholesky)
+    stacked = stack_for_shards([to_halo(s, EP, h_max=16) for s in slices])
+    mesh = make_mesh(DP, EP)
+    opt = build_optimizer(cfg, 4)
+
+    state_p = init_train_state(jax.random.key(0), cfg, cartnet_init, opt)
+    state_s = init_train_state(jax.random.key(0), cfg, cartnet_init, opt)
+    pmicro, pupdate, _ = make_parallel_steps(cfg, cartnet_apply, opt, mesh,
+                                             halo=True)
+    smicro, supdate, _ = make_steps(cfg, cartnet_apply, opt)
+
+    state_p, stats_p = pmicro(state_p, stacked)
+    state_s, stats_s = smicro(state_s, merged)
+    np.testing.assert_allclose(float(stats_p["loss"]), float(stats_s["loss"]),
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(stats_p["MAE"]), float(stats_s["MAE"]),
+                               rtol=1e-4)
+    for gp, gs in zip(jax.tree.leaves(state_p.grad_accum),
+                      jax.tree.leaves(state_s.grad_accum)):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gs),
+                                   rtol=1e-2, atol=2e-5)
+    for bp, bs in zip(jax.tree.leaves(state_p.bn_state),
+                      jax.tree.leaves(state_s.bn_state)):
+        np.testing.assert_allclose(np.asarray(bp), np.asarray(bs),
+                                   rtol=1e-4, atol=1e-6)
+    state_p = pupdate(state_p)
+    state_s = supdate(state_s)
+    for pp, ps in zip(jax.tree.leaves(state_p.params),
+                      jax.tree.leaves(state_s.params)):
+        np.testing.assert_allclose(np.asarray(pp), np.asarray(ps),
+                                   rtol=2e-2, atol=2e-4)
+
+
+def test_halo_eval_matches_single_device_adp():
+    """Node-sharded predictions reassemble to the single-device ones."""
+    cfg = _cfg(True)
+    slices, merged = _one_big_graph(True, seed=3)
+    halos = [to_halo(s, EP, h_max=16) for s in slices]
+    stacked = stack_for_shards(halos)
+    mesh = make_mesh(DP, EP)
+    opt = build_optimizer(cfg, 4)
+    state = init_train_state(jax.random.key(1), cfg, cartnet_init, opt)
+    _, _, peval = make_parallel_steps(cfg, cartnet_apply, opt, mesh, halo=True)
+    _, _, seval = make_steps(cfg, cartnet_apply, opt)
+
+    pred_p, mask_p, stats_p = peval(state.params, state.bn_state, stacked)
+    pred_s, mask_s, stats_s = seval(state.params, state.bn_state, merged)
+    np.testing.assert_allclose(float(stats_p["MAE"]), float(stats_s["MAE"]),
+                               rtol=1e-4)
+    np.testing.assert_allclose(
+        float(stats_p["similarity_index"]), float(stats_s["similarity_index"]),
+        rtol=1e-4)
+    # same multiset of per-atom predictions (member blocks reorder rows)
+    got = np.asarray(pred_p)[np.asarray(mask_p)]
+    want = np.asarray(pred_s)[np.asarray(mask_s)]
+    order_g = np.lexsort(got.reshape(len(got), -1).T)
+    order_w = np.lexsort(want.reshape(len(want), -1).T)
+    np.testing.assert_allclose(got[order_g], want[order_w], rtol=1e-4,
+                               atol=1e-6)
+
+
+def test_halo_cli_e2e(tmp_path):
+    """--halo trains end to end through the CLI on the 8-device CPU mesh."""
+    import json
+    import os
+    from cartnet_tpu.cli import main
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        main(["--cpu", "--dataset", "synthetic", "--model", "CartNet",
+              "--dim_in", "16", "--dim_rbf", "8", "--num_layers", "1",
+              "--epochs", "1", "--batch", "2", "--limit", "8",
+              "--dp", "2", "--ep", "4", "--halo",
+              "--name", "e2e_halo", "--seed", "0"])
+    finally:
+        os.chdir(cwd)
+    p = tmp_path / "results" / "e2e_halo" / "0" / "test" / "stats.json"
+    stats = json.loads(p.read_text().splitlines()[-1])
+    assert np.isfinite(stats["MAE"])

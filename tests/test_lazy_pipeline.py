@@ -119,3 +119,57 @@ def test_lazy_adp_records_and_counts_sidecar(tmp_path):
     pipe = BatchPipeline(lim, 2)
     batches = list(pipe)
     assert sum(int(b.graph_mask.sum()) for b in batches) == 3
+
+
+def test_bucketed_pipeline_fill_floor_and_coverage():
+    """Size-quantile buckets: every record seen exactly once per epoch, and
+    average edge fill beats the single-shape pipeline on a heavy size tail
+    (VERDICT round-1: worst-case padding can silently halve throughput)."""
+    rng = np.random.default_rng(0)
+
+    def rec(k):
+        src = np.arange(k, dtype=np.int64)
+        dst = (src + 1) % k
+        order = np.argsort(dst, kind="stable")
+        v = rng.normal(size=(k, 3)).astype(np.float32)
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        return {"z": np.full(k, 6, np.int32),
+                "pos": rng.uniform(0, 5, (k, 3)).astype(np.float32),
+                "cell": np.eye(3, dtype=np.float32) * 5,
+                "edge_src": src[order], "edge_dst": dst[order],
+                "cart_dist": np.ones(k, np.float32), "cart_dir": v[order],
+                "temperature": 0.0, "y": np.float32(rng.normal())}
+
+    # heavy tail: mostly small graphs, a few 20x bigger
+    recs = [rec(int(rng.integers(8, 16))) for _ in range(180)]
+    recs += [rec(int(rng.integers(200, 260))) for _ in range(20)]
+    total_edges = sum(len(r["edge_src"]) for r in recs)
+
+    def avg_fill(pipe):
+        pad = real = 0
+        zsum = 0
+        for b in pipe:
+            pad += b.edge_mask.shape[0]
+            real += int(b.edge_mask.sum())
+            zsum += int(b.z[b.node_mask].sum())
+        assert real == total_edges  # full coverage
+        return real / pad, zsum
+
+    flat = BatchPipeline(recs, 8, shuffle=True, seed=1)
+    bucketed = BatchPipeline(recs, 8, shuffle=True, seed=1, buckets=4)
+    fill_flat, _ = avg_fill(flat)
+    fill_bucket, _ = avg_fill(bucketed)
+    assert len(bucketed) >= len(flat)  # ceil per bucket
+    assert fill_bucket > 2 * fill_flat, (fill_flat, fill_bucket)
+    # NB: the absolute fill here is bounded by the 512-edge pad rounding at
+    # toy scale (96 real edges/batch); at ADP scale (~20k edges/batch) the
+    # rounding term is <3% and the bucket fill is the binding factor.
+    # deterministic epoch composition for a fixed seed
+    b1 = [int(b.edge_mask.sum()) for b in BatchPipeline(recs, 8, shuffle=True,
+                                                        seed=2, buckets=4)]
+    b2 = [int(b.edge_mask.sum()) for b in BatchPipeline(recs, 8, shuffle=True,
+                                                        seed=2, buckets=4)]
+    assert b1 != sorted(b1)  # bucket order actually shuffles
+    # same seed -> same epoch; rng state advances across epochs inside one
+    # pipeline, so compare two fresh pipelines
+    assert b1 == b2
