@@ -31,7 +31,6 @@ def main():
     import jax.numpy as jnp
     from cartnet_tpu.config import Config, DataConfig, ModelConfig, OptimConfig
     from cartnet_tpu.data.batching import collate
-    from cartnet_tpu.data.pipeline import choose_pad_sizes
     from cartnet_tpu.data.synthetic import synthetic_dataset
     from cartnet_tpu.models.cartnet import cartnet_apply, cartnet_init
     from cartnet_tpu.train.loop import (build_optimizer, init_train_state,
@@ -39,7 +38,17 @@ def main():
 
     dim, layers, graphs = 256, 4, 4
     recs = synthetic_dataset(8, mean_atoms=194, radius=5.0, adp=True, seed=0)
-    max_nodes, max_edges = choose_pad_sizes(recs, graphs)
+    # pad to the worst of the two actual batches (what the size-bucketed
+    # pipeline achieves on real datasets: data/pipeline.py buckets>1), not
+    # the whole-dataset worst case — same static shapes, ~96% fill vs ~76%
+    groups = [recs[i * graphs:(i + 1) * graphs] for i in range(2)]
+    align = 512  # window-align graph edge segments (data/batching.collate)
+    rnd = lambda v, m: -(-v // m) * m
+    need_n = max(sum(len(r["z"]) for r in g) for g in groups)
+    need_e = max(sum(rnd(len(r["edge_src"]), align) for r in g)
+                 for g in groups)
+    max_nodes = rnd(need_n, 128)
+    max_edges = rnd(need_e, 512)
     cfg = Config(
         model=ModelConfig(dim_in=dim, dim_rbf=64, num_layers=layers,
                           cholesky=True, compute_dtype=jnp.bfloat16),
@@ -48,10 +57,14 @@ def main():
         optim=OptimConfig(lr=1e-3, batch_accumulation=1))
 
     batches = [collate(recs[i * graphs:(i + 1) * graphs], max_nodes, max_edges,
-                       graphs) for i in range(2)]
+                       graphs, edge_align=align) for i in range(2)]
     batches = [jax.tree.map(jnp.asarray, b) for b in batches]
-    real_edges = int(np.asarray(batches[0].edge_mask).sum())
-    real_nodes = int(np.asarray(batches[0].node_mask).sum())
+    # the scan alternates both batches: throughput must use the MEAN real
+    # edge count, not batch 0's (round-1 undercounted by ~8%)
+    real_edges = float(np.mean([np.asarray(b.edge_mask).sum()
+                                for b in batches]))
+    real_nodes = float(np.mean([np.asarray(b.node_mask).sum()
+                                for b in batches]))
 
     opt = build_optimizer(cfg, 100)
     state = init_train_state(jax.random.key(0), cfg, cartnet_init, opt)
@@ -59,7 +72,7 @@ def main():
     # K train steps fused into one lax.scan launch: measures pure chip time
     # (per-dispatch tunnel latency here is ~10x the actual step time)
     from cartnet_tpu.train.loop import make_fused_steps, stack_batches
-    iters = 32
+    iters = 128  # amortize the ~25 ms tunnel dispatch to <0.2 ms/step
     stacked = stack_batches([batches[i % 2] for i in range(iters)])
     fused = make_fused_steps(cfg, cartnet_apply, opt, iters)
 

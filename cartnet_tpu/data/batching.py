@@ -36,8 +36,19 @@ def pad_sizes_for(records: Sequence[dict], multiple_nodes: int = 128,
 
 
 def collate(records: Sequence[dict], max_nodes: int, max_edges: int,
-            max_graphs: int, adp: Optional[bool] = None) -> CrystalBatch:
-    """Concatenate structures into one padded, dst-sorted batch."""
+            max_graphs: int, adp: Optional[bool] = None,
+            edge_align: int = 0) -> CrystalBatch:
+    """Concatenate structures into one padded, dst-sorted batch.
+
+    ``edge_align`` > 0: pad each graph's (dst-sorted) edge segment up to a
+    multiple of edge_align with masked edges pointing at the graph's last
+    node (monotone ids preserved). With edge_align == the Pallas window size,
+    no window ever crosses a graph boundary, so the fused edge kernel's src
+    band only has to cover ONE crystal (C_SRC=256 instead of 512 — halves
+    the dominant one-hot matmul cost). Only worth it when graphs carry many
+    more edges than the window (ADP-scale), so the pipeline enables it from
+    dataset stats.
+    """
     g = len(records)
     if g > max_graphs:
         raise ValueError(f"{g} graphs > max_graphs={max_graphs}")
@@ -55,7 +66,7 @@ def collate(records: Sequence[dict], max_nodes: int, max_edges: int,
     y = (np.zeros((max_nodes, 3, 3), np.float32) if adp
          else np.zeros(max_graphs, np.float32))
 
-    srcs, dsts, dists, dirs = [], [], [], []
+    srcs, dsts, dists, dirs, masks = [], [], [], [], []
     n_off = 0
     for gi, r in enumerate(records):
         n = len(r["z"])
@@ -74,43 +85,73 @@ def collate(records: Sequence[dict], max_nodes: int, max_edges: int,
             y[sl] = r["y"]
         else:
             y[gi] = float(r["y"])
-        srcs.append(np.asarray(r["edge_src"], np.int64) + n_off)
-        dsts.append(np.asarray(r["edge_dst"], np.int64) + n_off)
-        dists.append(r["cart_dist"])
-        dirs.append(r["cart_dir"])
+        g_src = np.asarray(r["edge_src"], np.int64) + n_off
+        g_dst = np.asarray(r["edge_dst"], np.int64) + n_off
+        # per-graph dst sort (global concat stays globally sorted since node
+        # offsets are increasing)
+        order = np.argsort(g_dst, kind="stable")
+        g_src, g_dst = g_src[order], g_dst[order]
+        g_dist = np.asarray(r["cart_dist"], np.float32)[order]
+        g_dir = np.asarray(r["cart_dir"], np.float32)[order]
+        g_mask = np.ones(len(g_src), bool)
+        if edge_align:
+            pad = (-len(g_src)) % edge_align
+            if pad:
+                safe = n_off + n - 1  # last node of THIS graph: ids monotone
+                g_src = np.concatenate([g_src, np.full(pad, safe, np.int64)])
+                g_dst = np.concatenate([g_dst, np.full(pad, safe, np.int64)])
+                g_dist = np.concatenate([g_dist, np.zeros(pad, np.float32)])
+                g_dir = np.concatenate([g_dir, np.zeros((pad, 3), np.float32)])
+                g_mask = np.concatenate([g_mask, np.zeros(pad, bool)])
+        srcs.append(g_src)
+        dsts.append(g_dst)
+        dists.append(g_dist)
+        dirs.append(g_dir)
+        masks.append(g_mask)
         n_off += n
 
     src = np.concatenate(srcs) if srcs else np.zeros(0, np.int64)
     dst = np.concatenate(dsts) if dsts else np.zeros(0, np.int64)
     dist = np.concatenate(dists).astype(np.float32) if dists else np.zeros(0, np.float32)
     dire = np.concatenate(dirs).astype(np.float32) if dirs else np.zeros((0, 3), np.float32)
+    mask = np.concatenate(masks) if masks else np.zeros(0, bool)
     e = len(src)
     if e > max_edges:
         raise ValueError(f"edge overflow: {e} > {max_edges}")
 
-    order = np.argsort(dst, kind="stable")  # deterministic reduction order
-    # pad edges point at the LAST node so the id sequence stays monotone —
-    # required for the indices_are_sorted fast path and the Pallas kernel
+    # tail pad edges point at the LAST node so the id sequence stays monotone
+    # — required for the indices_are_sorted fast path and the Pallas kernel
     # (pad values are masked/dropped, so the target row is never polluted).
     esrc = np.full(max_edges, max_nodes - 1, np.int32)
     edst = np.full(max_edges, max_nodes - 1, np.int32)
     edist = np.zeros(max_edges, np.float32)
     edir = np.zeros((max_edges, 3), np.float32)
     emask = np.zeros(max_edges, bool)
-    esrc[:e] = src[order]
-    edst[:e] = dst[order]
-    edist[:e] = dist[order]
-    edir[:e] = dire[order]
-    emask[:e] = True
+    esrc[:e] = src
+    edst[:e] = dst
+    edist[:e] = dist
+    edir[:e] = dire
+    emask[:e] = mask
     src_perm = np.argsort(esrc, kind="stable").astype(np.int32)
     pallas_ok = bool(_windows_ok(edst, emask) and
                      _windows_ok(esrc[src_perm], emask[src_perm]))
+    # fused edge-phase kernel plan (band base rows per window); arrays are
+    # always present (zeros on failure) so the pytree structure is batch-
+    # independent — only the STATIC edge_fuse_ok flag gates the kernel
+    from cartnet_tpu.ops.pallas.edge_kernels import T_EDGES, edge_windows_ok
+    fuse_ok, dst_lo, src_lo = edge_windows_ok(edst, esrc, emask, max_nodes)
+    nt = max(max_edges // T_EDGES, 1)
+    if not fuse_ok:
+        dst_lo = np.zeros(nt, np.int32)
+        src_lo = np.zeros(nt, np.int32)
 
     return CrystalBatch(
         z=z, pos=pos, graph_id=graph_id, node_mask=node_mask, non_h_mask=non_h,
         edge_src=esrc, edge_dst=edst, cart_dir=edir, cart_dist=edist,
         edge_mask=emask, cell=cell, temperature=temp, graph_mask=graph_mask, y=y,
-        edge_src_perm=src_perm, pallas_seg_ok=pallas_ok)
+        edge_src_perm=src_perm, pallas_seg_ok=pallas_ok,
+        edge_dst_lo=dst_lo, edge_src_lo=src_lo, edge_fuse_ok=bool(fuse_ok),
+        edge_src_sorted=esrc[src_perm])
 
 
 def _windows_ok(ids: np.ndarray, mask: np.ndarray) -> bool:

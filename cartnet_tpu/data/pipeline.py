@@ -32,10 +32,28 @@ def record_counts(records) -> tuple:
     return nodes, edges
 
 
+def edge_align_for(edges: np.ndarray) -> int:
+    """Window-align each graph's edge segment when graphs are large enough
+    that the padding tax is small vs the fused-kernel band win (ADP-scale);
+    small-graph datasets (jarvis/megnet) stay unaligned."""
+    from cartnet_tpu.ops.pallas.edge_kernels import T_EDGES
+    return T_EDGES if len(edges) and float(np.mean(edges)) >= 2 * T_EDGES else 0
+
+
 def choose_pad_sizes_from_counts(nodes: np.ndarray, edges: np.ndarray,
                                  batch_size: int, node_multiple: int = 128,
                                  edge_multiple: int = 512,
-                                 safety: float = 1.0):
+                                 safety: float = 1.0, edge_align: int = 0):
+    if edge_align:
+        edges = (-(-np.asarray(edges) // edge_align)) * edge_align
+    return _choose_pad_sizes_from_counts(nodes, edges, batch_size,
+                                         node_multiple, edge_multiple, safety)
+
+
+def _choose_pad_sizes_from_counts(nodes: np.ndarray, edges: np.ndarray,
+                                  batch_size: int, node_multiple: int = 128,
+                                  edge_multiple: int = 512,
+                                  safety: float = 1.0):
     """Static (max_nodes, max_edges) covering the worst batch of this dataset.
 
     Uses the max over a sliding sum of the ``batch_size`` largest graphs —
@@ -76,7 +94,7 @@ class BatchPipeline:
                  rotate_targets: bool = True, seed: int = 0,
                  drop_last: bool = False, prefetch: int = 2,
                  cache: Optional[bool] = None, workers: int = 0,
-                 buckets: int = 1):
+                 buckets: int = 1, edge_align: Optional[int] = None):
         """``buckets`` > 1: records are split into size quantiles (by edge
         count), each bucket padded to ITS OWN worst batch — bounds the pad
         waste a heavy size tail causes under a single global shape, at the
@@ -87,18 +105,25 @@ class BatchPipeline:
         self.buckets = max(1, buckets)
         self._bucket_idx: Optional[List[np.ndarray]] = None
         self._bucket_sizes: Optional[List[tuple]] = None
-        if self.buckets > 1:
+        if (edge_align is None or self.buckets > 1
+                or max_nodes is None or max_edges is None):
             nodes, edges = record_counts(records)
+            if edge_align is None:
+                edge_align = edge_align_for(edges)
+        self.edge_align = edge_align or 0
+        if self.buckets > 1:
             order = np.argsort(edges, kind="stable")
             self._bucket_idx = [b for b in np.array_split(order, self.buckets)
                                 if len(b)]
             self._bucket_sizes = [
-                choose_pad_sizes_from_counts(nodes[b], edges[b], batch_size)
+                choose_pad_sizes_from_counts(nodes[b], edges[b], batch_size,
+                                             edge_align=self.edge_align)
                 for b in self._bucket_idx]
             max_nodes = max(s[0] for s in self._bucket_sizes)
             max_edges = max(s[1] for s in self._bucket_sizes)
         elif max_nodes is None or max_edges is None:
-            max_nodes, max_edges = choose_pad_sizes(records, batch_size)
+            max_nodes, max_edges = choose_pad_sizes_from_counts(
+                nodes, edges, batch_size, edge_align=self.edge_align)
         self.max_nodes, self.max_edges = max_nodes, max_edges
         self.shuffle = shuffle
         self.augment = augment
@@ -144,7 +169,7 @@ class BatchPipeline:
             if self.augment:
                 recs = [augment_record(r, self._rng, self.rotate_targets)
                         for r in recs]
-            yield collate(recs, mn, me, bs)
+            yield collate(recs, mn, me, bs, edge_align=self.edge_align)
 
     def _make_batches(self) -> Iterator[CrystalBatch]:
         if self._bucket_idx is not None:

@@ -59,6 +59,16 @@ class CrystalBatch:
     # [x_local (n_per) ‖ recv (ep*H)] built by one all_to_all per layer.
     halo_send_idx: Optional[jnp.ndarray] = None   # [M, ep, H] int32
     halo_send_mask: Optional[jnp.ndarray] = None  # [M, ep, H] bool
+    # fused edge-phase Pallas kernel (ops/pallas/edge_kernels.py): per-window
+    # band base rows for the dst/src one-hot gathers. ALWAYS present (zeros
+    # when unused) so batches with/without a valid plan share one pytree
+    # structure; the static edge_fuse_ok flag gates the kernel.
+    edge_dst_lo: Optional[jnp.ndarray] = None     # [E/T] int32
+    edge_src_lo: Optional[jnp.ndarray] = None     # [E/T] int32
+    edge_fuse_ok: bool = flax.struct.field(pytree_node=False, default=False)
+    # host-precomputed edge_src[edge_src_perm] (ascending): the gather VJP
+    # needs the sorted ids, and an s32 gather ON DEVICE runs at ~2 GiB/s
+    edge_src_sorted: Optional[jnp.ndarray] = None  # [E] int32
     # static: True when every edge window satisfies the Pallas segment-sum
     # span condition (batching._windows_ok) for both dst and sorted-src ids.
     pallas_seg_ok: bool = flax.struct.field(pytree_node=False, default=False)

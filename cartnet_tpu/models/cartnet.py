@@ -135,18 +135,34 @@ def _dual_edge_mlp(p, x, e, batch: CrystalBatch,
     else:
         xi = jnp.dot(x, wi, preferred_element_type=x.dtype)      # [N, 2d]
         xj = jnp.dot(x, wj, preferred_element_type=x.dtype)
+        import os
+        if (batch.edge_fuse_ok and batch.edge_dst_lo is not None
+                and os.environ.get("CARTNET_EDGE_FUSE", "1") == "1"):
+            from cartnet_tpu.ops.pallas import edge_kernels as ek
+            from cartnet_tpu.ops.pallas.segment_kernels import on_tpu
+            if ek.edge_fuse_shapes_ok(batch.num_edges, batch.num_nodes, d,
+                                      x.dtype.itemsize):
+                # fused window kernel: gathers + e@We + silu + both lin1
+                # GEMMs, no [E,2d] HBM round trips (PERF_NOTES.md)
+                return ek.edge_phase(
+                    xi, xj, e, we, b,
+                    p["mlp_gate"]["lin1"]["w"], p["mlp_gate"]["lin1"]["b"],
+                    p["mlp_aggr"]["lin1"]["w"], p["mlp_aggr"]["lin1"]["b"],
+                    batch.edge_dst, batch.edge_src,
+                    batch.edge_dst_lo, batch.edge_src_lo, not on_tpu())
         if batch.edge_src_perm is None:
             # shard_map path: no batch-global permutation; plain gathers (the
             # custom-vjp collective-typing doesn't compose with vma tracking).
             gi = xi[batch.edge_dst]
             gj = xj[batch.edge_src]
         else:
-            dst_perm = jnp.arange(batch.num_edges, dtype=jnp.int32)  # sorted
-            gi = segment.gather_edges(xi, batch.edge_dst, dst_perm,
-                                      batch.pallas_seg_ok)
+            gi = segment.gather_edges(xi, batch.edge_dst,
+                                      pallas_ok=batch.pallas_seg_ok,
+                                      sorted_idx=True)  # dst pre-sorted
             gj = segment.gather_edges(xj, batch.edge_src,
                                       batch.edge_src_perm,
-                                      batch.pallas_seg_ok)
+                                      batch.pallas_seg_ok,
+                                      idx_sorted=batch.edge_src_sorted)
     pre = gi + gj + jnp.dot(e, we, preferred_element_type=x.dtype) + b
     h = jax.nn.silu(pre)
     gate = nn.linear(p["mlp_gate"]["lin1"], h[:, :d])

@@ -64,11 +64,12 @@ def _split3(mlp, a_node_i, a_node_j, edge_term, batch: CrystalBatch):
     if batch.edge_src_perm is None:
         gi, gj = ai[batch.edge_dst], aj[batch.edge_src]
     else:
-        dst_perm = jnp.arange(batch.num_edges, dtype=jnp.int32)
-        gi = segment.gather_edges(ai, batch.edge_dst, dst_perm,
-                                  batch.pallas_seg_ok)
+        gi = segment.gather_edges(ai, batch.edge_dst,
+                                  pallas_ok=batch.pallas_seg_ok,
+                                  sorted_idx=True)
         gj = segment.gather_edges(aj, batch.edge_src, batch.edge_src_perm,
-                                  batch.pallas_seg_ok)
+                                  batch.pallas_seg_ok,
+                                  idx_sorted=batch.edge_src_sorted)
     pre = gi + gj + edge_term @ w[2 * d:] + b
     return nn.linear(mlp["lin1"], jax.nn.silu(pre))
 

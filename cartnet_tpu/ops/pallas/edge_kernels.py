@@ -1,0 +1,345 @@
+"""Fused Pallas TPU kernel for the CartNet edge phase.
+
+Computes, per dst-sorted edge window of T edges, the whole chain
+
+    pre    = xi[dst] + xj[src] + e @ We + b          # [T, 2d]
+    h      = silu(pre)
+    gate   = h[:, :d] @ W1g + b1g                    # [T, d]
+    sender = h[:, d:] @ W1a + b1a                    # [T, d]
+
+without ever materializing the [E, 2d] gather/activation tensors in HBM —
+ablation (PERF_NOTES.md) shows the 8 endpoint gathers alone cost ~0.61 ms of
+the 1.99 ms forward at bench shapes. Both gathers are banded:
+
+  * dst ids are sorted, so a T-edge window spans a narrow row band
+    (~degree·T/E rows; C_DST covers it) — same trick as segment_kernels.py;
+  * src ids within a dst window live inside the node ranges of the crystals
+    that window touches, and collate keeps each crystal's nodes contiguous,
+    so a C_SRC band covers them.
+
+Banded gathers become one-hot MXU matmuls (exact row copies). The custom VJP
+recomputes the window forward and emits all cotangents in one pass: windowed
+de, banded one-hot-transpose accumulation for dxi/dxj, and f32 VMEM-resident
+accumulators for the five weight/bias grads. Soundness (band spans) is
+checked host-side at collation (edge_windows_ok); callers fall back to the
+XLA gather path otherwise.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+T_EDGES = 512   # edges per window (must divide E)
+C_DST = 128     # dst row band per window
+# src row band per window: covers ONE crystal's node range when collate
+# aligns each graph's edge segment to T_EDGES (edge_align), so windows never
+# cross graphs. The src one-hot matmul is the kernel's dominant FLOP term
+# (E*C_SRC*2d*2 per layer) — keep this band as tight as the data allows.
+# 384 covers the ADP size distribution's bulk (avg 194 atoms); batches with
+# larger crystals fall back to the unfused XLA path per collate's check.
+C_SRC = 384
+
+
+def edge_windows_ok(dst, src, mask, num_nodes: int
+                    ) -> Tuple[bool, np.ndarray, np.ndarray]:
+    """Host-side soundness check + per-window band base rows.
+
+    Returns (ok, dst_lo [nt], src_lo [nt]); lo rows are aligned down to 8 and
+    clamped so the band stays inside [0, num_nodes]. Only REAL edges bind the
+    span; pad edges produce all-zero one-hot rows (masked downstream).
+    """
+    e = len(dst)
+    if e % T_EDGES != 0:
+        return False, None, None
+    nt = e // T_EDGES
+    dst_lo = np.zeros(nt, np.int32)
+    src_lo = np.zeros(nt, np.int32)
+    for t in range(nt):
+        sl = slice(t * T_EDGES, (t + 1) * T_EDGES)
+        m = mask[sl]
+        if not m.any():
+            continue
+        d_real = dst[sl][m]
+        s_real = src[sl][m]
+        dlo = min((int(d_real.min()) // 8) * 8, max(num_nodes - C_DST, 0))
+        slo = min((int(s_real.min()) // 8) * 8, max(num_nodes - C_SRC, 0))
+        if int(d_real.max()) - dlo >= C_DST:
+            return False, None, None
+        if int(s_real.max()) - slo >= C_SRC:
+            return False, None, None
+        dst_lo[t] = dlo
+        src_lo[t] = slo
+    return True, dst_lo, src_lo
+
+
+def _onehot(ids, lo, c, dtype):
+    cols = jax.lax.broadcasted_iota(jnp.int32, (ids.shape[0], c), 1)
+    return (cols == (ids - lo)[:, None]).astype(dtype)
+
+
+def _window_pre_h(t, dlo_ref, slo_ref, dids_ref, sids_ref, xi_ref, xj_ref,
+                  e_ref, we_ref, b_ref):
+    """Recomputable core: returns (e_w, oh_d, oh_s, pre_f32, h_bf) for window t."""
+    dlo = pl.multiple_of(dlo_ref[t], 8)
+    slo = pl.multiple_of(slo_ref[t], 8)
+    cdt = xi_ref.dtype
+    oh_d = _onehot(dids_ref[t], dlo, C_DST, cdt)          # [T, C_DST]
+    oh_s = _onehot(sids_ref[t], slo, C_SRC, cdt)          # [T, C_SRC]
+    xi_band = xi_ref[pl.ds(dlo, C_DST), :]                # [C_DST, 2d]
+    xj_band = xj_ref[pl.ds(slo, C_SRC), :]
+    gi = jnp.dot(oh_d, xi_band, preferred_element_type=jnp.float32)
+    gj = jnp.dot(oh_s, xj_band, preferred_element_type=jnp.float32)
+    e_w = e_ref[...]                                      # [T, d]
+    ew = jnp.dot(e_w, we_ref[...], preferred_element_type=jnp.float32)
+    pre = gi + gj + ew + b_ref[...].astype(jnp.float32)
+    h = jax.nn.silu(pre).astype(cdt)
+    return e_w, oh_d, oh_s, pre, h
+
+
+def _fwd_kernel(dlo_ref, slo_ref, dids_ref, sids_ref, xi_ref, xj_ref, e_ref,
+                we_ref, b_ref, w1g_ref, b1g_ref, w1a_ref, b1a_ref,
+                gate_ref, sender_ref, pre_ref):
+    t = pl.program_id(0)
+    d = w1g_ref.shape[0]
+    _, _, _, pre, h = _window_pre_h(t, dlo_ref, slo_ref, dids_ref, sids_ref,
+                                    xi_ref, xj_ref, e_ref, we_ref, b_ref)
+    gate = jnp.dot(h[:, :d], w1g_ref[...],
+                   preferred_element_type=jnp.float32) + b1g_ref[...]
+    sender = jnp.dot(h[:, d:], w1a_ref[...],
+                     preferred_element_type=jnp.float32) + b1a_ref[...]
+    gate_ref[...] = gate.astype(gate_ref.dtype)
+    sender_ref[...] = sender.astype(sender_ref.dtype)
+    # saved for the backward: re-deriving pre would cost the oh_d/oh_s/eW
+    # dots again (~16.5 GF/layer, xprof'd at ~0.1 ms/layer) vs one [T,2d]
+    # write+read. bf16 save matches the XLA path's silu-bwd precision.
+    pre_ref[...] = pre.astype(pre_ref.dtype)
+
+
+def _bwd_kernel(dlo_ref, slo_ref, dids_ref, sids_ref, xi_ref, xj_ref, e_ref,
+                we_ref, b_ref, w1g_ref, b1g_ref, w1a_ref, b1a_ref,
+                pre_saved_ref, dgate_ref, dsender_ref,
+                de_ref, dxi_ref, dxj_ref, dwe_ref, db_ref,
+                dw1g_ref, db1g_ref, dw1a_ref, db1a_ref):
+    t = pl.program_id(0)
+    d = w1g_ref.shape[0]
+
+    @pl.when(t == 0)
+    def _():
+        dxi_ref[...] = jnp.zeros_like(dxi_ref)
+        dxj_ref[...] = jnp.zeros_like(dxj_ref)
+        dwe_ref[...] = jnp.zeros_like(dwe_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+        dw1g_ref[...] = jnp.zeros_like(dw1g_ref)
+        db1g_ref[...] = jnp.zeros_like(db1g_ref)
+        dw1a_ref[...] = jnp.zeros_like(dw1a_ref)
+        db1a_ref[...] = jnp.zeros_like(db1a_ref)
+
+    cdt = xi_ref.dtype
+    dlo = pl.multiple_of(dlo_ref[t], 8)
+    slo = pl.multiple_of(slo_ref[t], 8)
+    oh_d = _onehot(dids_ref[t], dlo, C_DST, cdt)
+    oh_s = _onehot(sids_ref[t], slo, C_SRC, cdt)
+    e_w = e_ref[...]
+    pre = pre_saved_ref[...].astype(jnp.float32)  # saved by the fwd kernel
+    h = jax.nn.silu(pre).astype(cdt)
+    dg = dgate_ref[...].astype(cdt)       # [T, d]
+    ds = dsender_ref[...].astype(cdt)
+
+    db1g_ref[...] += jnp.sum(dg, axis=0, dtype=jnp.float32)[None, :]
+    db1a_ref[...] += jnp.sum(ds, axis=0, dtype=jnp.float32)[None, :]
+    # dW1 = h_slice^T @ dout  (contract over the T axis)
+    dims_tt = (((0,), (0,)), ((), ()))
+    dw1g_ref[...] += jax.lax.dot_general(
+        h[:, :d], dg, dims_tt, preferred_element_type=jnp.float32)
+    dw1a_ref[...] += jax.lax.dot_general(
+        h[:, d:], ds, dims_tt, preferred_element_type=jnp.float32)
+
+    # dh = [dg @ W1g^T ‖ ds @ W1a^T]  (contract over output dim)
+    dims_nt = (((1,), (1,)), ((), ()))
+    dh_g = jax.lax.dot_general(dg, w1g_ref[...], dims_nt,
+                               preferred_element_type=jnp.float32)
+    dh_a = jax.lax.dot_general(ds, w1a_ref[...], dims_nt,
+                               preferred_element_type=jnp.float32)
+    dh = jnp.concatenate([dh_g, dh_a], axis=1)            # [T, 2d] f32
+    sig = jax.nn.sigmoid(pre)
+    dpre = dh * (sig * (1.0 + pre * (1.0 - sig)))         # silu' in f32
+    dpre_c = dpre.astype(cdt)
+
+    db_ref[...] += jnp.sum(dpre, axis=0)[None, :]
+    # de = dpre @ We^T ; dWe = e_w^T @ dpre
+    de_ref[...] = jax.lax.dot_general(
+        dpre_c, we_ref[...], dims_nt,
+        preferred_element_type=jnp.float32).astype(de_ref.dtype)
+    dwe_ref[...] += jax.lax.dot_general(
+        e_w, dpre_c, dims_tt, preferred_element_type=jnp.float32)
+    # banded scatter: dxi[band] += oh_d^T @ dpre
+    dxi_ref[pl.ds(dlo, C_DST), :] += jax.lax.dot_general(
+        oh_d, dpre_c, dims_tt, preferred_element_type=jnp.float32)
+    dxj_ref[pl.ds(slo, C_SRC), :] += jax.lax.dot_general(
+        oh_s, dpre_c, dims_tt, preferred_element_type=jnp.float32)
+
+
+def _specs(nt, n, e, d, t_win):
+    const = lambda shape: pl.BlockSpec(shape, lambda t, dlo, slo: (0, 0))
+    win = lambda shape: pl.BlockSpec(shape, lambda t, dlo, slo: (t, 0))
+    return [
+        const((nt, t_win)),   # dst ids
+        const((nt, t_win)),   # src ids
+        const((n, 2 * d)),    # xi
+        const((n, 2 * d)),    # xj
+        win((t_win, d)),      # e window
+        const((d, 2 * d)),    # we
+        const((1, 2 * d)),    # b
+        const((d, d)),        # w1g
+        const((1, d)),        # b1g
+        const((d, d)),        # w1a
+        const((1, d)),        # b1a
+    ]
+
+
+def _prep(xi, xj, dst, src, dst_lo, src_lo):
+    e = dst.shape[0]
+    nt = e // T_EDGES
+    dids = dst.reshape(nt, T_EDGES).astype(jnp.int32)
+    sids = src.reshape(nt, T_EDGES).astype(jnp.int32)
+    return nt, dids, sids
+
+
+def edge_phase_fwd(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src,
+                   dst_lo, src_lo, interpret: bool = False):
+    n, d2 = xi.shape
+    d = d2 // 2
+    E = e.shape[0]
+    nt, dids, sids = _prep(xi, xj, dst, src, dst_lo, src_lo)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nt,),
+        in_specs=_specs(nt, n, E, d, T_EDGES),
+        out_specs=[pl.BlockSpec((T_EDGES, d), lambda t, dlo, slo: (t, 0)),
+                   pl.BlockSpec((T_EDGES, d), lambda t, dlo, slo: (t, 0)),
+                   pl.BlockSpec((T_EDGES, 2 * d),
+                                lambda t, dlo, slo: (t, 0))],
+    )
+    flops = 2 * E * (C_DST + C_SRC) * 2 * d + 2 * E * d * 2 * d * 2
+    gate, sender, pre = pl.pallas_call(
+        _fwd_kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((E, d), xi.dtype),
+                   jax.ShapeDtypeStruct((E, d), xi.dtype),
+                   jax.ShapeDtypeStruct((E, 2 * d), xi.dtype)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=E * d * 5 * xi.dtype.itemsize,
+            transcendentals=E * 2 * d),
+    )(dst_lo, src_lo, dids, sids, xi, xj, e,
+      we, b.reshape(1, -1), w1g, b1g.reshape(1, -1), w1a, b1a.reshape(1, -1))
+    return gate, sender, pre
+
+
+def edge_phase_bwd_call(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src,
+                        dst_lo, src_lo, pre, dgate, dsender,
+                        interpret: bool = False):
+    n, d2 = xi.shape
+    d = d2 // 2
+    E = e.shape[0]
+    nt, dids, sids = _prep(xi, xj, dst, src, dst_lo, src_lo)
+    win = lambda shape: pl.BlockSpec(shape, lambda t, dlo, slo: (t, 0))
+    const = lambda shape: pl.BlockSpec(shape, lambda t, dlo, slo: (0, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nt,),
+        in_specs=_specs(nt, n, E, d, T_EDGES) + [win((T_EDGES, 2 * d)),
+                                                 win((T_EDGES, d)),
+                                                 win((T_EDGES, d))],
+        out_specs=[
+            win((T_EDGES, d)),        # de
+            const((n, 2 * d)),        # dxi (f32 accumulator)
+            const((n, 2 * d)),        # dxj
+            const((d, 2 * d)),        # dwe
+            const((1, 2 * d)),        # db
+            const((d, d)),            # dw1g
+            const((1, d)),            # db1g
+            const((d, d)),            # dw1a
+            const((1, d)),            # db1a
+        ],
+    )
+    flops = 3 * (2 * E * (C_DST + C_SRC) * 2 * d + 6 * E * d * 2 * d * 2)
+    outs = pl.pallas_call(
+        _bwd_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((E, d), e.dtype),
+            jax.ShapeDtypeStruct((n, 2 * d), jnp.float32),
+            jax.ShapeDtypeStruct((n, 2 * d), jnp.float32),
+            jax.ShapeDtypeStruct((d, 2 * d), jnp.float32),
+            jax.ShapeDtypeStruct((1, 2 * d), jnp.float32),
+            jax.ShapeDtypeStruct((d, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+            jax.ShapeDtypeStruct((d, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=E * d * 5 * xi.dtype.itemsize,
+            transcendentals=E * 2 * d),
+    )(dst_lo, src_lo, dids, sids, xi, xj, e,
+      we, b.reshape(1, -1), w1g, b1g.reshape(1, -1), w1a, b1a.reshape(1, -1),
+      pre, dgate, dsender)
+    return outs
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(13,))
+def edge_phase(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, dst_lo,
+               src_lo, interpret: bool = False):
+    """Fused gather+MLP edge phase -> (gate, sender), each [E, d]."""
+    gate, sender, _ = edge_phase_fwd(xi, xj, e, we, b, w1g, b1g, w1a, b1a,
+                                     dst, src, dst_lo, src_lo, interpret)
+    return gate, sender
+
+
+def _ep_fwd(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, dst_lo, src_lo,
+            interpret):
+    gate, sender, pre = edge_phase_fwd(xi, xj, e, we, b, w1g, b1g, w1a, b1a,
+                                       dst, src, dst_lo, src_lo, interpret)
+    return (gate, sender), (xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src,
+                            dst_lo, src_lo, pre)
+
+
+def _ep_bwd(interpret, res, cts):
+    (xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, dst_lo, src_lo,
+     pre) = res
+    dgate, dsender = cts
+    (de, dxi, dxj, dwe, db, dw1g, db1g, dw1a, db1a) = edge_phase_bwd_call(
+        xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, dst_lo, src_lo,
+        pre, dgate, dsender, interpret)
+    f0 = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+    return (dxi.astype(xi.dtype), dxj.astype(xj.dtype), de,
+            dwe.astype(we.dtype), db.reshape(-1).astype(b.dtype),
+            dw1g.astype(w1g.dtype), db1g.reshape(-1).astype(b1g.dtype),
+            dw1a.astype(w1a.dtype), db1a.reshape(-1).astype(b1a.dtype),
+            f0(dst), f0(src), f0(dst_lo), f0(src_lo))
+
+
+edge_phase.defvjp(_ep_fwd, _ep_bwd)
+
+
+def edge_fuse_shapes_ok(num_edges: int, num_nodes: int, dim: int,
+                        itemsize: int = 2) -> bool:
+    """Static gate: window divisibility, lane alignment, VMEM budget."""
+    d2 = 2 * dim
+    vmem = (2 * num_nodes * d2 * itemsize   # xi/xj resident
+            + 2 * num_nodes * d2 * 4        # bwd dxi/dxj f32 accumulators
+            + 3 * dim * d2 * 4              # weight grads
+            + 6 * T_EDGES * d2 * 4)         # window intermediates
+    return (num_edges % T_EDGES == 0 and dim % 128 == 0
+            and num_nodes % 8 == 0 and num_nodes >= C_SRC
+            and vmem < 14 * 1024 * 1024)

@@ -60,55 +60,72 @@ def gather(values, idx):
 import functools
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def gather_sorted_vjp(values, idx, perm, pallas_ok: bool = False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def gather_sorted_vjp(values, idx, perm, idx_sorted, pallas_ok: bool = False):
     """x[idx] whose VJP scatter-add runs as a SORTED segment-sum.
 
     The transpose of a gather is a scatter-add, which XLA lowers to a slow
     serial path on TPU when indices are unsorted (~23x slower than a sorted
     segment reduction at bench shapes). ``perm`` must sort ``idx``
-    (idx[perm] ascending); the backward permutes cotangents first and then
-    reduces on the sorted fast path — via the Pallas window kernel when
-    ``pallas_ok`` (collate-verified span condition) and shapes allow.
-    Forward is identical to jnp.take. Pad-edge cotangents are exactly zero
-    (pads never reach an unmasked reduction), so pad ids need no masking.
+    (idx[perm] ascending) — pass perm=None when idx is ALREADY ascending (the
+    backward then skips the cotangent permute entirely). ``idx_sorted`` is
+    the host-precomputed idx[perm]: an int gather on-device runs at ~2 GiB/s
+    (xprof, PERF_NOTES.md), so it must never be materialized at runtime.
+    The reduction uses the Pallas window kernel when ``pallas_ok``
+    (collate-verified span condition) and shapes allow. Forward is identical
+    to jnp.take. Pad-edge cotangents are exactly zero (pads never reach an
+    unmasked reduction), so pad ids need no masking.
     """
     return values.at[idx].get(mode="promise_in_bounds")
 
 
-def _gsv_fwd(values, idx, perm, pallas_ok):
+def _gsv_fwd(values, idx, perm, idx_sorted, pallas_ok):
     # NB: custom_vjp passes fwd the ORIGINAL positional signature (nondiff
     # args stay in place); only bwd gets nondiff args as leading arguments.
     return (values.at[idx].get(mode="promise_in_bounds"),
-            (idx, perm, values.shape[0]))
+            (idx, perm, idx_sorted, values.shape[0]))
 
 
 def _gsv_bwd(pallas_ok, res, ct):
     import numpy as np  # only for float0 integer cotangents
-    idx, perm, n = res
+    idx, perm, idx_sorted, n = res
+    if perm is None:
+        ct_s, ids_s = ct, idx  # idx already ascending
+    else:
+        ct_s = ct.at[perm].get(mode="promise_in_bounds")
+        ids_s = idx_sorted
     if pallas_ok and ct.ndim == 2:
         from cartnet_tpu.ops.pallas.segment_kernels import (
             on_tpu, pallas_shapes_ok, segment_sum_sorted_window)
         if on_tpu() and pallas_shapes_ok(ct.shape[0], ct.shape[1], n):
-            ct_values = segment_sum_sorted_window(
-                ct.at[perm].get(mode="promise_in_bounds"),
-                idx.at[perm].get(mode="promise_in_bounds"), n)
+            ct_values = segment_sum_sorted_window(ct_s, ids_s, n)
             return (ct_values, np.zeros(idx.shape, jax.dtypes.float0),
-                    np.zeros(perm.shape, jax.dtypes.float0))
-    ct_values = jax.ops.segment_sum(
-        ct.at[perm].get(mode="promise_in_bounds"),
-        idx.at[perm].get(mode="promise_in_bounds"),
-        num_segments=n, indices_are_sorted=True)
+                    None if perm is None
+                    else np.zeros(perm.shape, jax.dtypes.float0),
+                    None if idx_sorted is None
+                    else np.zeros(idx_sorted.shape, jax.dtypes.float0))
+    ct_values = jax.ops.segment_sum(ct_s, ids_s, num_segments=n,
+                                    indices_are_sorted=True)
     return (ct_values, np.zeros(idx.shape, jax.dtypes.float0),
-            np.zeros(perm.shape, jax.dtypes.float0))
+            None if perm is None else np.zeros(perm.shape, jax.dtypes.float0),
+            None if idx_sorted is None
+            else np.zeros(idx_sorted.shape, jax.dtypes.float0))
 
 
 gather_sorted_vjp.defvjp(_gsv_fwd, _gsv_bwd)
 
 
-def gather_edges(values, idx, perm=None, pallas_ok: bool = False):
-    """Gather with the fastest available backward: sorted-VJP if ``perm`` is
-    given (idx[perm] ascending), plain XLA gather/scatter otherwise."""
+def gather_edges(values, idx, perm=None, pallas_ok: bool = False,
+                 idx_sorted=None, sorted_idx: bool = False):
+    """Gather with the fastest available backward.
+
+    sorted_idx=True: idx itself is ascending — sorted-VJP with no permute.
+    perm given (idx[perm] ascending): sorted-VJP permuting the cotangent;
+    pass the host-precomputed ``idx_sorted`` too. Otherwise plain XLA."""
+    if sorted_idx:
+        return gather_sorted_vjp(values, idx, None, None, pallas_ok)
     if perm is None:
         return jnp.take(values, idx, axis=0)  # shard_map path: keep clamp
-    return gather_sorted_vjp(values, idx, perm, pallas_ok)
+    if idx_sorted is None:
+        idx_sorted = idx.at[perm].get(mode="promise_in_bounds")
+    return gather_sorted_vjp(values, idx, perm, idx_sorted, pallas_ok)

@@ -173,6 +173,8 @@ def to_halo(batch: CrystalBatch, ep: int,
         edge_src=out_src, edge_dst=out_dst, cart_dist=out_dist,
         cart_dir=out_dir, edge_mask=out_emask,
         edge_src_perm=None, pallas_seg_ok=False,
+        edge_dst_lo=None, edge_src_lo=None, edge_fuse_ok=False,
+        edge_src_sorted=None,
         halo_send_idx=send_idx, halo_send_mask=send_mask)
 
 

@@ -44,7 +44,9 @@ def stack_for_shards(batches: List[CrystalBatch]) -> CrystalBatch:
     meaningless once the edge axis is re-split over ep shards — the layers
     fall back to plain gathers inside shard_map.
     """
-    batches = [b.replace(edge_src_perm=None, pallas_seg_ok=False)
+    batches = [b.replace(edge_src_perm=None, pallas_seg_ok=False,
+                         edge_dst_lo=None, edge_src_lo=None,
+                         edge_fuse_ok=False, edge_src_sorted=None)
                for b in batches]
     return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *batches)
 

@@ -70,12 +70,14 @@ class ShardedPipeline:
 
 def _pipelines(cfg: Config, splits):
     from cartnet_tpu.data.pipeline import (choose_pad_sizes_from_counts,
-                                           record_counts)
+                                           edge_align_for, record_counts)
     train, val, test = splits
     counts = [record_counts(s) for s in splits]
     nodes = np.concatenate([c[0] for c in counts])
     edges = np.concatenate([c[1] for c in counts])
-    mn, me = choose_pad_sizes_from_counts(nodes, edges, cfg.data.batch_size)
+    align = edge_align_for(edges)
+    mn, me = choose_pad_sizes_from_counts(nodes, edges, cfg.data.batch_size,
+                                          edge_align=align)
     # lazy (ADP-scale) sources stream via a fetch pool; in-memory lists don't
     # need one
     workers = 0 if isinstance(train, list) else 4
@@ -87,7 +89,7 @@ def _pipelines(cfg: Config, splits):
     mk = lambda recs, shuffle, augment, bs: BatchPipeline(
         recs, bs, mn, me, shuffle=shuffle, augment=augment,
         rotate_targets=cfg.model.cholesky, seed=cfg.seed, workers=workers,
-        buckets=buckets)
+        buckets=buckets, edge_align=align)
     return (mk(train, True, cfg.data.augment, cfg.data.batch_size),
             mk(val, False, False, cfg.data.batch_size),
             mk(test, False, False, cfg.data.batch_size))

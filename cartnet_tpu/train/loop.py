@@ -230,7 +230,14 @@ def make_fused_steps(cfg: Config, model_apply, optimizer, num_steps: int):
 
 
 def stack_batches(batches):
-    """Stack a list of same-shape batches into a [K, ...] pytree for scan."""
+    """Stack a list of same-shape batches into a [K, ...] pytree for scan.
+
+    Static kernel flags are AND-normalized first: a scan body is traced once,
+    so every stacked batch must satisfy the plan the trace commits to."""
+    fuse = all(b.edge_fuse_ok for b in batches)
+    seg = all(b.pallas_seg_ok for b in batches)
+    batches = [b.replace(edge_fuse_ok=fuse, pallas_seg_ok=seg)
+               for b in batches]
     return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *batches)
 
 

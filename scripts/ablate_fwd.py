@@ -116,12 +116,13 @@ def main():
                     gi = jnp.concatenate([xi] * reps, 0)[:E]
                     gj = jnp.concatenate([xj] * reps, 0)[:E]
                 else:
-                    dst_perm = jnp.arange(E, dtype=jnp.int32)
-                    gi = segment.gather_edges(xi, batch.edge_dst, dst_perm,
-                                              batch.pallas_seg_ok)
+                    gi = segment.gather_edges(xi, batch.edge_dst,
+                                              pallas_ok=batch.pallas_seg_ok,
+                                              sorted_idx=True)
                     gj = segment.gather_edges(xj, batch.edge_src,
                                               batch.edge_src_perm,
-                                              batch.pallas_seg_ok)
+                                              batch.pallas_seg_ok,
+                                              idx_sorted=batch.edge_src_sorted)
                 pre = gi + gj + b
                 if not no_edge_gemm:
                     pre = pre + jnp.dot(e, we, preferred_element_type=x.dtype)

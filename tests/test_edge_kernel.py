@@ -1,0 +1,178 @@
+"""Fused Pallas edge-phase kernel (interpret mode): forward and custom-VJP
+gradients must match the unfused gather+MLP composition on real edges."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cartnet_tpu.data.batching import collate
+from cartnet_tpu.data.synthetic import synthetic_dataset
+from cartnet_tpu.ops.pallas.edge_kernels import (C_DST, C_SRC, T_EDGES,
+                                                 edge_fuse_shapes_ok,
+                                                 edge_phase,
+                                                 edge_windows_ok)
+
+D = 128
+N = 512
+
+
+@pytest.fixture(scope="module")
+def setup():
+    recs = synthetic_dataset(3, mean_atoms=60, radius=5.0, adp=False, seed=5)
+    e_real = sum(len(r["edge_src"]) for r in recs)
+    E = -(-e_real // T_EDGES) * T_EDGES
+    batch = collate(recs, N, E, 3)
+    dst = np.asarray(batch.edge_dst)
+    src = np.asarray(batch.edge_src)
+    mask = np.asarray(batch.edge_mask)
+    ok, dst_lo, src_lo = edge_windows_ok(dst, src, mask, N)
+    assert ok, "synthetic batch must satisfy the band condition"
+    key = jax.random.key(0)
+    ks = jax.random.split(key, 10)
+    mk = lambda k, *s: jax.random.normal(k, s, jnp.float32) * 0.3
+    args = dict(
+        xi=mk(ks[0], N, 2 * D), xj=mk(ks[1], N, 2 * D), e=mk(ks[2], E, D),
+        we=mk(ks[3], D, 2 * D), b=mk(ks[4], 2 * D),
+        w1g=mk(ks[5], D, D), b1g=mk(ks[6], D),
+        w1a=mk(ks[7], D, D), b1a=mk(ks[8], D))
+    return (args, jnp.asarray(dst.astype(np.int32)),
+            jnp.asarray(src.astype(np.int32)), jnp.asarray(dst_lo),
+            jnp.asarray(src_lo), jnp.asarray(mask))
+
+
+def _ref(a, dst, src):
+    pre = (a["xi"][dst] + a["xj"][src]
+           + jnp.dot(a["e"], a["we"]) + a["b"])
+    h = jax.nn.silu(pre)
+    gate = jnp.dot(h[:, :D], a["w1g"]) + a["b1g"]
+    sender = jnp.dot(h[:, D:], a["w1a"]) + a["b1a"]
+    return gate, sender
+
+
+def test_forward_matches_reference(setup):
+    a, dst, src, dst_lo, src_lo, mask = setup
+    gate_k, sender_k = edge_phase(a["xi"], a["xj"], a["e"], a["we"], a["b"],
+                                  a["w1g"], a["b1g"], a["w1a"], a["b1a"],
+                                  dst, src, dst_lo, src_lo, True)
+    gate_r, sender_r = _ref(a, dst, src)
+    m = np.asarray(mask)
+    np.testing.assert_allclose(np.asarray(gate_k)[m], np.asarray(gate_r)[m],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sender_k)[m],
+                               np.asarray(sender_r)[m], rtol=1e-5, atol=1e-5)
+
+
+def test_custom_vjp_matches_reference_grads(setup):
+    a, dst, src, dst_lo, src_lo, mask = setup
+    E = a["e"].shape[0]
+    key = jax.random.key(7)
+    cg = jax.random.normal(key, (E, D)) * mask[:, None]
+    cs = jax.random.normal(jax.random.split(key)[0], (E, D)) * mask[:, None]
+    names = list(a.keys())
+
+    def loss_kernel(*vals):
+        aa = dict(zip(names, vals))
+        g, s = edge_phase(aa["xi"], aa["xj"], aa["e"], aa["we"], aa["b"],
+                          aa["w1g"], aa["b1g"], aa["w1a"], aa["b1a"],
+                          dst, src, dst_lo, src_lo, True)
+        return jnp.sum(g * cg) + jnp.sum(s * cs)
+
+    def loss_ref(*vals):
+        aa = dict(zip(names, vals))
+        g, s = _ref(aa, dst, src)
+        return jnp.sum(g * cg) + jnp.sum(s * cs)
+
+    vals = [a[k] for k in names]
+    gk = jax.grad(loss_kernel, argnums=tuple(range(len(vals))))(*vals)
+    gr = jax.grad(loss_ref, argnums=tuple(range(len(vals))))(*vals)
+    for name, k_, r_ in zip(names, gk, gr):
+        np.testing.assert_allclose(np.asarray(k_), np.asarray(r_),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+def test_shapes_gate():
+    assert edge_fuse_shapes_ok(2 * T_EDGES, 1024, 256)
+    assert not edge_fuse_shapes_ok(2 * T_EDGES + 1, 1024, 256)
+    assert not edge_fuse_shapes_ok(2 * T_EDGES, C_SRC - 8, 256)  # N < C_SRC
+    assert not edge_fuse_shapes_ok(2 * T_EDGES, 1024, 192)  # lane align
+
+
+def test_windows_ok_rejects_wide_spans():
+    e = T_EDGES
+    dst = np.arange(e, dtype=np.int64) % (C_DST * 3)  # unsorted wide span
+    dst.sort()
+    src = np.zeros(e, np.int64)
+    mask = np.ones(e, bool)
+    ok, _, _ = edge_windows_ok(dst, src, mask, C_DST * 3)
+    assert not ok
+
+
+def test_model_fused_path_matches_unfused():
+    """Full CartNet loss + grads: fused edge-phase (interpret) == XLA path."""
+    from cartnet_tpu.config import Config, DataConfig, ModelConfig, OptimConfig
+    from cartnet_tpu.models.cartnet import cartnet_apply, cartnet_init
+    from cartnet_tpu.train.loop import loss_fn
+    recs = synthetic_dataset(3, mean_atoms=60, radius=5.0, adp=True, seed=9)
+    e_real = sum(len(r["edge_src"]) for r in recs)
+    E = -(-e_real // T_EDGES) * T_EDGES
+    batch = collate(recs, N, E, 3)
+    assert batch.edge_fuse_ok  # fuse plan exists
+    cfg = Config(model=ModelConfig(dim_in=D, dim_rbf=16, num_layers=2,
+                                   cholesky=True),
+                 data=DataConfig(max_nodes=N, max_edges=E, max_graphs=3),
+                 optim=OptimConfig(lr=1e-3))
+    assert edge_fuse_shapes_ok(E, N, D, 4)
+    params, bn = cartnet_init(jax.random.key(2), cfg.model)
+
+    def loss_of(p, b):
+        return loss_fn(p, bn, b, cartnet_apply, cfg, True)[0]
+
+    batch_unfused = batch.replace(edge_fuse_ok=False)
+    lf, gf = jax.value_and_grad(loss_of)(params, batch)
+    lu, gu = jax.value_and_grad(loss_of)(params, batch_unfused)
+    np.testing.assert_allclose(float(lf), float(lu), rtol=1e-5)
+    flat_f = jax.tree_util.tree_leaves_with_path(gf)
+    flat_u = jax.tree_util.tree_leaves_with_path(gu)
+    for (kp, a), (_, b) in zip(flat_f, flat_u):  # same treedef -> same order
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4,
+                                   atol=5e-5, err_msg=str(kp))
+
+
+def test_collate_edge_align_semantics():
+    """Aligned collate: no window crosses a graph; masked semantics equal."""
+    from cartnet_tpu.config import Config, DataConfig, ModelConfig, OptimConfig
+    from cartnet_tpu.models.cartnet import cartnet_apply, cartnet_init
+    from cartnet_tpu.train.loop import loss_fn
+    recs = synthetic_dataset(3, mean_atoms=60, radius=5.0, adp=True, seed=13)
+    per = [-(-len(r["edge_src"]) // T_EDGES) * T_EDGES for r in recs]
+    E = sum(per)
+    b = collate(recs, N, E, 3, edge_align=T_EDGES)
+    # each graph's segment occupies whole windows
+    gid_of_edge = np.asarray(b.graph_id)[np.asarray(b.edge_dst)]
+    emask = np.asarray(b.edge_mask)
+    for t in range(E // T_EDGES):
+        sl = slice(t * T_EDGES, (t + 1) * T_EDGES)
+        gids = gid_of_edge[sl][emask[sl]]
+        assert len(np.unique(gids)) <= 1, f"window {t} crosses graphs"
+    # ids stay monotone (sorted fast path) incl. interior pads
+    assert (np.diff(np.asarray(b.edge_dst)) >= 0).all()
+    assert int(emask.sum()) == sum(len(r["edge_src"]) for r in recs)
+    assert b.edge_fuse_ok  # fuse plan valid under alignment
+
+    # model semantics identical to the unaligned batch (real edges only)
+    E2 = -(-sum(len(r["edge_src"]) for r in recs) // T_EDGES) * T_EDGES
+    b0 = collate(recs, N, E2, 3, edge_align=0)
+    cfg = Config(model=ModelConfig(dim_in=D, dim_rbf=16, num_layers=2,
+                                   cholesky=True),
+                 data=DataConfig(max_nodes=N, max_edges=E, max_graphs=3),
+                 optim=OptimConfig(lr=1e-3))
+    params, bn = cartnet_init(jax.random.key(4), cfg.model)
+    # compare on the XLA path (strip fuse plans) — alignment itself must be
+    # semantics-neutral
+    la = loss_fn(params, bn, b.replace(edge_fuse_ok=False),
+                 cartnet_apply, cfg, True)[0]
+    lu = loss_fn(params, bn, b0.replace(edge_fuse_ok=False),
+                 cartnet_apply, cfg, True)[0]
+    np.testing.assert_allclose(float(la), float(lu), rtol=1e-6)
