@@ -88,6 +88,10 @@ def encoder_apply(p, batch: CrystalBatch, cfg: ModelConfig):
 
 # ---------------------------------------------------------------- layer
 
+# test hook: run the fused sigma/segsum kernel in interpret mode on CPU
+_FORCE_SIGMA_INTERPRET = False
+
+
 def layer_init(key, cfg: ModelConfig):
     d, dtype = cfg.dim_in, cfg.param_dtype
     k1, k2 = jax.random.split(key)
@@ -188,24 +192,60 @@ def layer_apply(p, state, x, e, batch: CrystalBatch, cfg: ModelConfig,
 
     halo = batch.halo_send_idx is not None
     gate, sender = _dual_edge_mlp(p, x, e, batch, ep_axis)
-    gate, bn_s = masked_batch_norm(p["bn"], state["bn"], gate, batch.edge_mask,
-                                   training=training, momentum=cfg.bn_momentum,
-                                   eps=cfg.bn_eps, axis_names=edge_stat_axes)
-    sigma = jax.nn.sigmoid(gate)
+
+    env = None
     if cfg.use_envelope:
         env = (envelope if envelope is not None else
-               rbf_ops.cosine_cutoff(batch.cart_dist.astype(x.dtype), cfg.radius))
-        sigma = env[:, None] * sigma
+               rbf_ops.cosine_cutoff(batch.cart_dist.astype(x.dtype),
+                                     cfg.radius))
 
-    aggr = segment.masked_segment_sum(sigma * sender, batch.edge_dst,
-                                      batch.edge_mask, batch.num_nodes,
-                                      sorted_ids=True,
-                                      pallas_ok=batch.pallas_seg_ok)
-    if ep_axis is not None and not halo:
-        # replicated-node layout: partial aggregates all-reduce over ep.
-        # halo layout owns dst locally — the segment-sum above IS the full
-        # aggregate, no collective needed.
-        aggr = jax.lax.psum(aggr, ep_axis)
+    sigma_fused = False
+    if batch.pallas_seg_ok and not halo and ep_axis is None:
+        from cartnet_tpu.ops.pallas.segment_kernels import (
+            on_tpu, pallas_shapes_ok, sigma_segsum)
+        from cartnet_tpu.ops.pallas.edge_kernels import T_EDGES
+        E, N, d = batch.num_edges, batch.num_nodes, gate.shape[-1]
+        if (pallas_shapes_ok(E, d, N)
+                and (on_tpu() or _FORCE_SIGMA_INTERPRET)):
+            # fused BN-normalize + sigmoid + envelope + x sender + windowed
+            # scatter: one Pallas pass instead of ~3 [E,d] HBM round trips
+            # (PERF_NOTES.md). BN batch moments stay outside so the full
+            # train-mode BN backward composes through scale/shift.
+            from cartnet_tpu.nn.norm import masked_bn_scale_shift
+            scale, shift, bn_s = masked_bn_scale_shift(
+                p["bn"], state["bn"], gate, batch.edge_mask,
+                training=training, momentum=cfg.bn_momentum, eps=cfg.bn_eps,
+                axis_names=edge_stat_axes)
+            env_col = (env[:, None] if env is not None
+                       else jnp.ones((E, 1), gate.dtype))
+            ids_eff = jnp.where(batch.edge_mask, batch.edge_dst,
+                                N).astype(jnp.int32)
+            lo = ((ids_eff[::T_EDGES] // 8) * 8).astype(jnp.int32)
+            sigma, aggr = sigma_segsum(gate, scale, shift,
+                                       env_col.astype(gate.dtype), sender,
+                                       ids_eff, lo, N,
+                                       not on_tpu())
+            sigma_fused = True
+
+    if not sigma_fused:
+        gate, bn_s = masked_batch_norm(p["bn"], state["bn"], gate,
+                                       batch.edge_mask, training=training,
+                                       momentum=cfg.bn_momentum,
+                                       eps=cfg.bn_eps,
+                                       axis_names=edge_stat_axes)
+        sigma = jax.nn.sigmoid(gate)
+        if env is not None:
+            sigma = env[:, None] * sigma
+
+        aggr = segment.masked_segment_sum(sigma * sender, batch.edge_dst,
+                                          batch.edge_mask, batch.num_nodes,
+                                          sorted_ids=True,
+                                          pallas_ok=batch.pallas_seg_ok)
+        if ep_axis is not None and not halo:
+            # replicated-node layout: partial aggregates all-reduce over ep.
+            # halo layout owns dst locally — the segment-sum above IS the
+            # full aggregate, no collective needed.
+            aggr = jax.lax.psum(aggr, ep_axis)
     aggr, bn2_s = masked_batch_norm(p["bn2"], state["bn2"], aggr,
                                     batch.node_mask, training=training,
                                     momentum=cfg.bn_momentum, eps=cfg.bn_eps,

@@ -26,6 +26,48 @@ def batch_norm_init(dim: int, dtype=jnp.float32):
     return params, state
 
 
+def masked_bn_scale_shift(params, state, x, mask, *, training: bool,
+                          momentum: float = 0.1, eps: float = 1e-5,
+                          axis_names=()):
+    """BN as an affine (scale, shift) pair + updated running stats.
+
+    y = x*scale + shift ≡ masked_batch_norm(x). Lets fused kernels apply the
+    normalize inside a Pallas pass while keeping the train-mode backward
+    exact: mean/var here are differentiable functions of x, so cotangents
+    through scale/shift reproduce the full BN gradient coupling.
+    """
+    if not training:
+        inv = jnp.reciprocal(jnp.sqrt(state["var"] + eps))
+        scale = params["gamma"] * inv
+        return scale, params["beta"] - state["mean"] * scale, state
+
+    xf = x.astype(jnp.float32)
+    m = mask.astype(jnp.float32)[:, None]
+    n = jnp.sum(m)
+    s1 = jnp.sum(xf * m, axis=0)
+    if axis_names:
+        n = jax.lax.psum(n, axis_names)
+        s1 = jax.lax.psum(s1, axis_names)
+    n = jnp.maximum(n, 1.0)
+    mean = s1 / n
+    diff = (xf - mean) * m
+    s2 = jnp.sum(diff * diff, axis=0)
+    if axis_names:
+        s2 = jax.lax.psum(s2, axis_names)
+    var = s2 / n
+    inv = jnp.reciprocal(jnp.sqrt(var + eps))
+    scale = params["gamma"] * inv
+    shift = params["beta"] - mean * scale
+    sg = jax.lax.stop_gradient
+    unbiased = sg(var) * (n / jnp.maximum(n - 1.0, 1.0))
+    new_state = {
+        "mean": (1.0 - momentum) * state["mean"] + momentum * sg(mean),
+        "var": (1.0 - momentum) * state["var"] + momentum * unbiased,
+        "count": state["count"] + 1,
+    }
+    return scale, shift, new_state
+
+
 def masked_batch_norm(params, state, x, mask, *, training: bool,
                       momentum: float = 0.1, eps: float = 1e-5,
                       axis_names=()):
