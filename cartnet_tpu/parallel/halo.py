@@ -67,6 +67,17 @@ def _partition_nodes(node_mask: np.ndarray, graph_id: np.ndarray,
             hi = int(snaps[np.argmin(np.abs(snaps - hi))])
         if hi <= lo and nr > lo:
             hi = min(lo + 1, hi_cap) if hi_cap > lo else lo
+        # forward feasibility: the REMAINING members must be able to hold
+        # the remaining nodes/edges — push this cut forward (past a snap if
+        # necessary) until they can
+        left = ep - m - 1
+        while hi < nr and (nr - hi > left * n_per
+                           or er - cum_edges[hi] > left * e_per):
+            hi += 1
+        if hi > hi_cap:
+            raise HaloInfeasible(
+                f"member {m}: no cut satisfies caps (n_per={n_per}, "
+                f"e_per={e_per}) — raise max_nodes/max_edges padding")
         bounds.append(hi)
     bounds.append(nr)
     bounds = np.asarray(bounds, np.int64)

@@ -25,20 +25,26 @@ def _sync(x):
     np.asarray(jax.device_get(jax.tree.leaves(x)[0]))
 
 
-def timed(fn, *args, reps=3):
-    out = fn(*args)
-    _sync(out)
+def timed(fn, state, reps=3):
+    """fn donates and returns the train state: thread it through each rep."""
+    state = fn(state)
+    _sync(state)
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn(*args)
-        _sync(out)
+        state = fn(state)
+        _sync(state)
         best = min(best, time.perf_counter() - t0)
-    return best, out
+    return best, state
 
 
 def main():
+    import os
     import jax
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        # the container sitecustomize pins jax_platforms to the axon TPU
+        # tunnel; the env var alone does NOT override it
+        jax.config.update("jax_platforms", "cpu")
     if jax.devices()[0].platform == "cpu":
         print("# NOTE: virtual CPU mesh — harness/comms validation only")
     import jax.numpy as jnp
@@ -55,7 +61,7 @@ def main():
 
     n_dev = len(jax.devices())
     dim, layers, graphs_per_slice = 64, 4, 4
-    n_per_slice, e_per_slice = 512, 8192
+    n_per_slice, e_per_slice = 640, 12288
 
     def slice_batch(seed):
         recs = synthetic_dataset(graphs_per_slice, mean_atoms=96, radius=5.0,
