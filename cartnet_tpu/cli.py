@@ -68,6 +68,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="resume from the run's checkpoint dir")
     p.add_argument("--limit", type=int, default=None,
                    help="truncate dataset (smoke runs)")
+    p.add_argument("--fused_steps", type=int, default=0,
+                   help="fuse K micro-steps per device launch (lax.scan); "
+                        "kills per-step dispatch latency on remote runtimes")
     p.add_argument("--buckets", type=int, default=1,
                    help="size-quantile buckets with per-bucket pad shapes "
                         "(dp=1 only); bounds pad waste from size tails")
@@ -116,7 +119,8 @@ def args_to_config(args) -> Config:
         buckets=getattr(args, "buckets", 1))
     optim = OptimConfig(
         lr=args.lr, max_epoch=args.epochs, warmup=args.warmup,
-        batch_accumulation=args.batch_accumulation, loss=args.loss)
+        batch_accumulation=args.batch_accumulation, loss=args.loss,
+        fused_steps=getattr(args, "fused_steps", 0))
     par = ParallelConfig(dp=args.dp, ep=args.ep,
                          halo=getattr(args, "halo", False),
                          halo_max=getattr(args, "halo_max", None))

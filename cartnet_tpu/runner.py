@@ -184,6 +184,13 @@ def train(cfg: Config, state, model_apply, optimizer, pipes, resume=False,
                      " (halo edge partitioning)" if halo else "")
     else:
         micro, update, evals = make_steps(cfg, model_apply, optimizer)
+    chunk_fn = None
+    if cfg.optim.fused_steps > 1 and dp * ep <= 1:
+        from cartnet_tpu.train.loop import make_fused_chunk
+        chunk_fn = make_fused_chunk(cfg, model_apply, optimizer,
+                                    cfg.optim.fused_steps)
+        logging.info("fused epochs: %d micro-steps per device launch",
+                     cfg.optim.fused_steps)
     lr_fn = build_lr_fn(cfg, len(train_pipe))
     ckpt_dir = os.path.join(cfg.run_dir, "ckpt")
     best_dir = os.path.join(ckpt_dir, "best")
@@ -200,6 +207,15 @@ def train(cfg: Config, state, model_apply, optimizer, pipes, resume=False,
 
     perf = {"train": [], "val": []}
     epoch_times = []
+    def run_train_epoch(state):
+        if chunk_fn is not None:
+            from cartnet_tpu.train.loop import train_epoch_fused
+            return train_epoch_fused(state, train_pipe, chunk_fn,
+                                     cfg.optim.fused_steps, update,
+                                     loggers[0], lr_fn)
+        return train_epoch(state, train_pipe, micro, update,
+                           cfg.optim.batch_accumulation, loggers[0], lr_fn)
+
     for epoch in range(start_epoch, cfg.optim.max_epoch):
         t0 = time.perf_counter()
         if profile and epoch == start_epoch:
@@ -209,13 +225,10 @@ def train(cfg: Config, state, model_apply, optimizer, pipes, resume=False,
             import jax
             trace_dir = os.path.join(cfg.run_dir, "profile")
             with jax.profiler.trace(trace_dir):
-                state = train_epoch(state, train_pipe, micro, update,
-                                    cfg.optim.batch_accumulation, loggers[0],
-                                    lr_fn)
+                state = run_train_epoch(state)
             logging.info("profiler trace written to %s", trace_dir)
         else:
-            state = train_epoch(state, train_pipe, micro, update,
-                                cfg.optim.batch_accumulation, loggers[0], lr_fn)
+            state = run_train_epoch(state)
         perf["train"].append(loggers[0].write_epoch(epoch))
         eval_epoch(state, val_pipe, evals, loggers[1])
         perf["val"].append(loggers[1].write_epoch(epoch))

@@ -199,6 +199,112 @@ def eval_epoch(state: TrainState, batches: Iterable[CrystalBatch], eval_step,
     return preds
 
 
+def make_fused_chunk(cfg: Config, model_apply, optimizer, num_steps: int):
+    """One jitted launch executing ``num_steps`` micro-steps with FULL
+    reference semantics: grads accumulate per micro-batch and the optimizer
+    steps every ``cfg.optim.batch_accumulation`` VALID micro-batches
+    (train/train.py:183-189). Fully-masked dummy batches (ragged-tail pads)
+    contribute zero grads/stats and do not advance the accumulation cadence.
+
+    Exists because per-batch dispatch costs ~25 ms through a remote-tunnel
+    runtime (PERF_NOTES.md) — an ADP epoch is ~40k micro-batches. One launch
+    per chunk removes all of it.
+    """
+    import jax.lax as lax
+    accum = cfg.optim.batch_accumulation
+
+    def apply_update(state: TrainState):
+        updates, opt_state = optimizer.update(state.grad_accum,
+                                              state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        zeros = jax.tree.map(jnp.zeros_like, state.grad_accum)
+        return state.replace(params=params, opt_state=opt_state,
+                             grad_accum=zeros,
+                             accum_count=jnp.zeros((), jnp.int32),
+                             step=state.step + 1)
+
+    def one(state: TrainState, batch: CrystalBatch):
+        valid = jnp.any(batch.graph_mask)
+        (loss, (mae, mse, new_bn, _, _)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.bn_state, batch,
+                                   model_apply, cfg, True)
+        v = valid.astype(jnp.float32)
+        grads = jax.tree.map(lambda g: g * v, grads)
+        new_bn = jax.tree.map(lambda a, b: jnp.where(valid, a, b),
+                              new_bn, state.bn_state)
+        acc = jax.tree.map(jnp.add, state.grad_accum, grads)
+        state = state.replace(bn_state=new_bn, grad_accum=acc,
+                              accum_count=state.accum_count
+                              + valid.astype(jnp.int32))
+        state = lax.cond(state.accum_count >= accum, apply_update,
+                         lambda s: s, state)
+        return state, {"loss": loss * v, "MAE": mae * v, "MSE": mse * v,
+                       "valid": v}
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def chunk(state: TrainState, stacked_batches: CrystalBatch):
+        return lax.scan(one, state, stacked_batches, length=num_steps)
+
+    return chunk
+
+
+def train_epoch_fused(state: TrainState, batches, chunk_fn, chunk_size: int,
+                      update_step, logger=None, lr_fn=None):
+    """Epoch driver for make_fused_chunk: stacks ``chunk_size`` host batches
+    per device launch; ragged tails are padded with fully-masked dummies.
+    ``update_step`` applies the epoch-end flush of a partial accumulation
+    cycle (train/train.py:186)."""
+    import numpy as np
+    t_epoch = time.time()
+    pending = []
+    weights, edges = [], []
+    group: list = []
+
+    def flush_chunk(group):
+        nonlocal state
+        kreal = len(group)
+        if kreal < chunk_size:
+            dummy = jax.tree.map(jnp.zeros_like, group[-1])
+            dummy = dummy.replace(pallas_seg_ok=group[-1].pallas_seg_ok,
+                                  edge_fuse_ok=group[-1].edge_fuse_ok)
+            group = group + [dummy] * (chunk_size - kreal)
+        stacked = stack_batches(group)
+        state, stats = chunk_fn(state, stacked)
+        pending.append((stats, kreal))
+
+    for batch in batches:
+        if group and (batch.z.shape != group[0].z.shape
+                      or batch.edge_src.shape != group[0].edge_src.shape):
+            # bucket boundary (per-bucket pad shapes): close the chunk
+            flush_chunk(group)
+            group = []
+        group.append(batch)
+        weights.append(target_weight(batch))
+        edges.append(float(np.sum(np.asarray(batch.edge_mask))))
+        if len(group) == chunk_size:
+            flush_chunk(group)
+            group = []
+    if group:
+        flush_chunk(group)
+    # epoch-end flush of a partial accumulation cycle (train/train.py:186)
+    if int(jax.device_get(state.accum_count)) > 0:
+        state = update_step(state)
+    if logger is not None:
+        base_step = None
+        i = 0
+        for stats, kreal in pending:
+            host = {k: np.asarray(v) for k, v in stats.items()}
+            if base_step is None:
+                base_step = int(jax.device_get(state.step))
+            for j in range(kreal):
+                row = {k: float(host[k][j]) for k in ("loss", "MAE", "MSE")}
+                lr = float(lr_fn(base_step)) if lr_fn else 0.0
+                logger.update(row, weight=weights[i], lr=lr, edges=edges[i])
+                i += 1
+        logger.note_time(time.time() - t_epoch)
+    return state
+
+
 def make_fused_steps(cfg: Config, model_apply, optimizer, num_steps: int):
     """One jitted function executing ``num_steps`` micro+update train steps
     via lax.scan over a stacked batch pytree ([K, ...] leaves).

@@ -44,3 +44,9 @@ def test_cli_profile_and_throughput(tmp_path):
     assert stats["time_iter"] > 0
     prof_dir = tmp_path / "results" / "e2e_prof" / "0" / "profile"
     assert prof_dir.is_dir() and any(prof_dir.rglob("*"))
+
+
+def test_cli_fused_steps(tmp_path):
+    """--fused_steps runs whole chunks per launch with identical semantics."""
+    stats = _run(tmp_path, ["--fused_steps", "3"], "e2e_fused")
+    assert np.isfinite(stats["MAE"])

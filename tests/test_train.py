@@ -168,3 +168,34 @@ def test_bf16_compute_trains_and_reduces_loss():
     after = float(s1["loss"])
     assert np.isfinite(after)
     assert after < before, (before, after)
+
+
+def test_fused_chunk_epoch_matches_per_batch_loop():
+    """make_fused_chunk/train_epoch_fused == micro+update loop: same optimizer
+    step count (incl. epoch-end flush and ragged dummy chunks) and matching
+    params/BN state."""
+    from cartnet_tpu.train.loop import (make_fused_chunk, train_epoch_fused)
+    cfg = _tiny_cfg()  # batch_accumulation=2
+    batches = _tiny_batches(cfg, n_batches=5)  # 5 % 2 != 0 -> flush;
+    opt = build_optimizer(cfg, len(batches))
+
+    s_ref = init_train_state(jax.random.key(0), cfg, cartnet_init, opt)
+    micro, update, _ = make_steps(cfg, cartnet_apply, opt)
+    s_ref = train_epoch(s_ref, batches, micro, update,
+                        cfg.optim.batch_accumulation)
+
+    s_fused = init_train_state(jax.random.key(0), cfg, cartnet_init, opt)
+    chunk = make_fused_chunk(cfg, cartnet_apply, opt, 2)  # 3 chunks, 1 dummy
+    _, update2, _ = make_steps(cfg, cartnet_apply, opt)
+    s_fused = train_epoch_fused(s_fused, batches, chunk, 2, update2)
+
+    assert int(s_fused.step) == int(s_ref.step) == 3  # 2 updates + flush
+    assert int(s_fused.accum_count) == 0
+    for a, b in zip(jax.tree.leaves(s_ref.params),
+                    jax.tree.leaves(s_fused.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-2,
+                                   atol=5e-4)
+    for a, b in zip(jax.tree.leaves(s_ref.bn_state),
+                    jax.tree.leaves(s_fused.bn_state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-2,
+                                   atol=1e-4)
