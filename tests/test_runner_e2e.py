@@ -50,3 +50,40 @@ def test_cli_fused_steps(tmp_path):
     """--fused_steps runs whole chunks per launch with identical semantics."""
     stats = _run(tmp_path, ["--fused_steps", "3"], "e2e_fused")
     assert np.isfinite(stats["MAE"])
+
+
+def test_cli_inference_and_montecarlo(tmp_path):
+    """--inference dumps the reference-format pickle (pred/true/IoU/MAE/S12,
+    main.py:21-60); --montecarlo runs the SO(3) audit (main.py:62-119)."""
+    import pickle
+    from cartnet_tpu.cli import main
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    base = ["--cpu", "--dataset", "synthetic", "--model", "CartNet",
+            "--cholesky", "--dim_in", "16", "--dim_rbf", "8",
+            "--num_layers", "1", "--batch", "2", "--limit", "6",
+            "--seed", "0"]
+    try:
+        main(base + ["--inference", "--inference_output", "inf.pkl",
+                     "--name", "e2e_inf"])
+        with open("inf.pkl", "rb") as f:
+            out = pickle.load(f)
+        for k in ("pred", "true", "iou", "mae", "similarity_index"):
+            assert k in out and len(out[k]) > 0
+        assert all(0.0 <= float(v) <= 1.0
+                   for v in np.concatenate(out["iou"]))
+
+        import cartnet_tpu.runner as runner
+        orig = runner.montecarlo
+        runner.montecarlo = lambda *a, **k: orig(*a, iterations=2, **k)
+        try:
+            main(base + ["--montecarlo", "--inference_output", "mc.pkl",
+                         "--name", "e2e_mc"])
+        finally:
+            runner.montecarlo = orig
+        with open("mc.pkl", "rb") as f:
+            mc = pickle.load(f)
+        for k in ("iou", "mae", "similarity_index"):
+            assert np.isfinite(mc[k][0])
+    finally:
+        os.chdir(cwd)
