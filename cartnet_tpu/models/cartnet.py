@@ -171,7 +171,7 @@ def _dual_edge_mlp(p, x, e, batch: CrystalBatch,
     h = jax.nn.silu(pre)
     gate = nn.linear(p["mlp_gate"]["lin1"], h[:, :d])
     sender = nn.linear(p["mlp_aggr"]["lin1"], h[:, d:])
-    return gate, sender
+    return gate, sender, e
 
 
 def layer_apply(p, state, x, e, batch: CrystalBatch, cfg: ModelConfig,
@@ -188,10 +188,12 @@ def layer_apply(p, state, x, e, batch: CrystalBatch, cfg: ModelConfig,
     ``envelope``: precomputed CosineCutoff(dist) [E] (identical across layers,
     so the caller hoists it out of the layer loop).
     """
-    x_in, e_in = x, e
+    x_in = x
 
     halo = batch.halo_send_idx is not None
-    gate, sender = _dual_edge_mlp(p, x, e, batch, ep_axis)
+    # e_res == e, passed through the (possibly fused) edge op so the residual
+    # backward add folds into its de output (ops/pallas/edge_kernels.py)
+    gate, sender, e_res = _dual_edge_mlp(p, x, e, batch, ep_axis)
 
     env = None
     if cfg.use_envelope:
@@ -202,15 +204,17 @@ def layer_apply(p, state, x, e, batch: CrystalBatch, cfg: ModelConfig,
     sigma_fused = False
     if batch.pallas_seg_ok and not halo and ep_axis is None:
         from cartnet_tpu.ops.pallas.segment_kernels import (
-            on_tpu, pallas_shapes_ok, sigma_segsum)
-        from cartnet_tpu.ops.pallas.edge_kernels import T_EDGES
+            C_WINDOW, on_tpu, pallas_shapes_ok, sigma_segsum)
+        from cartnet_tpu.ops.pallas.edge_kernels import C_DST, T_EDGES
         E, N, d = batch.num_edges, batch.num_nodes, gate.shape[-1]
         if (pallas_shapes_ok(E, d, N)
                 and (on_tpu() or _FORCE_SIGMA_INTERPRET)):
-            # fused BN-normalize + sigmoid + envelope + x sender + windowed
-            # scatter: one Pallas pass instead of ~3 [E,d] HBM round trips
-            # (PERF_NOTES.md). BN batch moments stay outside so the full
-            # train-mode BN backward composes through scale/shift.
+            # fused BN-normalize + sigmoid + envelope + x sender + edge
+            # residual + windowed scatter: one Pallas pass instead of ~4
+            # [E,d] HBM round trips (PERF_NOTES.md). BN batch moments stay
+            # outside so the full train-mode BN backward composes through
+            # scale/shift. Graph-aligned batches (edge_fuse_ok) guarantee a
+            # dst span < C_DST per window, halving the scatter band.
             from cartnet_tpu.nn.norm import masked_bn_scale_shift
             scale, shift, bn_s = masked_bn_scale_shift(
                 p["bn"], state["bn"], gate, batch.edge_mask,
@@ -221,9 +225,10 @@ def layer_apply(p, state, x, e, batch: CrystalBatch, cfg: ModelConfig,
             ids_eff = jnp.where(batch.edge_mask, batch.edge_dst,
                                 N).astype(jnp.int32)
             lo = ((ids_eff[::T_EDGES] // 8) * 8).astype(jnp.int32)
-            sigma, aggr = sigma_segsum(gate, scale, shift,
+            c_win = C_DST if batch.edge_fuse_ok else C_WINDOW
+            e_out, aggr = sigma_segsum(gate, scale, shift,
                                        env_col.astype(gate.dtype), sender,
-                                       ids_eff, lo, N,
+                                       e_res, ids_eff, lo, N, c_win,
                                        not on_tpu())
             sigma_fused = True
 
@@ -246,12 +251,12 @@ def layer_apply(p, state, x, e, batch: CrystalBatch, cfg: ModelConfig,
             # halo layout owns dst locally — the segment-sum above IS the
             # full aggregate, no collective needed.
             aggr = jax.lax.psum(aggr, ep_axis)
+        e_out = e_res + sigma
     aggr, bn2_s = masked_batch_norm(p["bn2"], state["bn2"], aggr,
                                     batch.node_mask, training=training,
                                     momentum=cfg.bn_momentum, eps=cfg.bn_eps,
                                     axis_names=node_stat_axes)
     x_out = jax.nn.silu(aggr) + x_in
-    e_out = e_in + sigma
     return x_out, e_out, {"bn": bn_s, "bn2": bn2_s}
 
 

@@ -124,7 +124,7 @@ def _fwd_kernel(dlo_ref, slo_ref, dids_ref, sids_ref, xi_ref, xj_ref, e_ref,
 
 def _bwd_kernel(dlo_ref, slo_ref, dids_ref, sids_ref, xi_ref, xj_ref, e_ref,
                 we_ref, b_ref, w1g_ref, b1g_ref, w1a_ref, b1a_ref,
-                pre_saved_ref, dgate_ref, dsender_ref,
+                pre_saved_ref, dgate_ref, dsender_ref, deres_ref,
                 de_ref, dxi_ref, dxj_ref, dwe_ref, db_ref,
                 dw1g_ref, db1g_ref, dw1a_ref, db1a_ref):
     t = pl.program_id(0)
@@ -173,10 +173,13 @@ def _bwd_kernel(dlo_ref, slo_ref, dids_ref, sids_ref, xi_ref, xj_ref, e_ref,
     dpre_c = dpre.astype(cdt)
 
     db_ref[...] += jnp.sum(dpre, axis=0)[None, :]
-    # de = dpre @ We^T ; dWe = e_w^T @ dpre
-    de_ref[...] = jax.lax.dot_general(
+    # de = de_res + dpre @ We^T ; dWe = e_w^T @ dpre.  de_res is the layer
+    # residual's cotangent (e is passed through this op so the downstream
+    # e_out = e + sigma add backward lands here instead of a separate XLA
+    # [E,d] add pass).
+    de_ref[...] = (deres_ref[...].astype(jnp.float32) + jax.lax.dot_general(
         dpre_c, we_ref[...], dims_nt,
-        preferred_element_type=jnp.float32).astype(de_ref.dtype)
+        preferred_element_type=jnp.float32)).astype(de_ref.dtype)
     dwe_ref[...] += jax.lax.dot_general(
         e_w, dpre_c, dims_tt, preferred_element_type=jnp.float32)
     # banded scatter: dxi[band] += oh_d^T @ dpre
@@ -245,7 +248,7 @@ def edge_phase_fwd(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src,
 
 
 def edge_phase_bwd_call(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src,
-                        dst_lo, src_lo, pre, dgate, dsender,
+                        dst_lo, src_lo, pre, dgate, dsender, deres,
                         interpret: bool = False):
     n, d2 = xi.shape
     d = d2 // 2
@@ -257,6 +260,7 @@ def edge_phase_bwd_call(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src,
         num_scalar_prefetch=2,
         grid=(nt,),
         in_specs=_specs(nt, n, E, d, T_EDGES) + [win((T_EDGES, 2 * d)),
+                                                 win((T_EDGES, d)),
                                                  win((T_EDGES, d)),
                                                  win((T_EDGES, d))],
         out_specs=[
@@ -293,34 +297,40 @@ def edge_phase_bwd_call(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src,
             transcendentals=E * 2 * d),
     )(dst_lo, src_lo, dids, sids, xi, xj, e,
       we, b.reshape(1, -1), w1g, b1g.reshape(1, -1), w1a, b1a.reshape(1, -1),
-      pre, dgate, dsender)
+      pre, dgate, dsender, deres)
     return outs
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(13,))
 def edge_phase(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, dst_lo,
                src_lo, interpret: bool = False):
-    """Fused gather+MLP edge phase -> (gate, sender), each [E, d]."""
+    """Fused gather+MLP edge phase -> (gate, sender, e_res), [E, d] each.
+
+    e_res is e passed through unchanged (zero cost forward). Route the
+    layer's edge residual through it (e_out = e_res + sigma) so that the
+    residual's backward add folds into this op's de output instead of a
+    separate XLA [E,d] pass.
+    """
     gate, sender, _ = edge_phase_fwd(xi, xj, e, we, b, w1g, b1g, w1a, b1a,
                                      dst, src, dst_lo, src_lo, interpret)
-    return gate, sender
+    return gate, sender, e
 
 
 def _ep_fwd(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, dst_lo, src_lo,
             interpret):
     gate, sender, pre = edge_phase_fwd(xi, xj, e, we, b, w1g, b1g, w1a, b1a,
                                        dst, src, dst_lo, src_lo, interpret)
-    return (gate, sender), (xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src,
-                            dst_lo, src_lo, pre)
+    return (gate, sender, e), (xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src,
+                               dst_lo, src_lo, pre)
 
 
 def _ep_bwd(interpret, res, cts):
     (xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, dst_lo, src_lo,
      pre) = res
-    dgate, dsender = cts
+    dgate, dsender, deres = cts
     (de, dxi, dxj, dwe, db, dw1g, db1g, dw1a, db1a) = edge_phase_bwd_call(
         xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, dst_lo, src_lo,
-        pre, dgate, dsender, interpret)
+        pre, dgate, dsender, deres, interpret)
     f0 = lambda a: np.zeros(a.shape, jax.dtypes.float0)
     return (dxi.astype(xi.dtype), dxj.astype(xj.dtype), de,
             dwe.astype(we.dtype), db.reshape(-1).astype(b.dtype),

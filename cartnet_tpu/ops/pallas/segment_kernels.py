@@ -101,17 +101,27 @@ def on_tpu() -> bool:
 
 
 # ------------------------------------------------------------------ sigma
-# Fused sigma chain + scatter: sigma = sigmoid(gate*scale + shift) * env;
-# aggr = segment_sum(sigma * sender). Replaces ~3 [E,d] elementwise HBM
-# round trips per layer (xprof: the BN->sigmoid->envelope->mult loop fusions
-# cost ~0.5 ms/step at bench shapes). BN batch statistics are computed
-# OUTSIDE (masked moments are differentiable jnp ops), so the train-mode BN
-# backward through mean/var composes automatically via the scale/shift
-# cotangents this kernel emits.
+# Fused sigma chain + scatter + edge residual:
+#   sigma = sigmoid(gate*scale + shift) * env
+#   e_out = e_in + sigma                      (the layer's edge residual)
+#   aggr  = segment_sum(sigma * sender)
+# Replaces ~4 [E,d] elementwise HBM round trips per layer (xprof: the
+# BN->sigmoid->envelope->mult->residual loop fusions cost ~0.5 ms/step at
+# bench shapes). BN batch statistics are computed OUTSIDE (masked moments are
+# differentiable jnp ops), so the train-mode BN backward through mean/var
+# composes automatically via the scale/shift cotangents this kernel emits.
+# The residual's backward is free: d(e_in) = d(e_out), returned as the
+# cotangent array itself — no kernel work, no extra HBM pass.
+#
+# ``c_window`` (static) is the scatter's node-row band per window: 256 for
+# generic sorted batches (collate._windows_ok), 128 when the batch is
+# graph-aligned (edge_fuse_ok — the edge kernel's C_DST=128 span check covers
+# the same windows), halving the scatter one-hot MXU cost.
 
 
-def _sigma_seg_kernel(lo_ref, ids_ref, gate_ref, scale_ref, shift_ref,
-                      env_ref, sender_ref, sigma_ref, out_ref):
+def _sigma_seg_kernel(c_window, lo_ref, ids_ref, gate_ref, scale_ref,
+                      shift_ref, env_ref, sender_ref, ein_ref,
+                      eout_ref, out_ref):
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -122,19 +132,21 @@ def _sigma_seg_kernel(lo_ref, ids_ref, gate_ref, scale_ref, shift_ref,
     g = gate_ref[...].astype(jnp.float32)
     a = g * scale_ref[...] + shift_ref[...]
     sig = jax.nn.sigmoid(a) * env_ref[...].astype(jnp.float32)
-    sigma_ref[...] = sig.astype(sigma_ref.dtype)
+    # residual add in the compute dtype — bitwise identical to the unfused
+    # path's  e_out = e_in + sigma.astype(bf16)
+    eout_ref[...] = ein_ref[...] + sig.astype(eout_ref.dtype)
     vals = (sig.astype(sender_ref.dtype) * sender_ref[...])
     ids = ids_ref[t, :]
-    cols = jax.lax.broadcasted_iota(jnp.int32, (C_WINDOW, T_EDGES), 0) + lo
+    cols = jax.lax.broadcasted_iota(jnp.int32, (c_window, T_EDGES), 0) + lo
     onehot = (cols == ids[None, :]).astype(vals.dtype)
     partial = jnp.dot(onehot, vals, preferred_element_type=jnp.float32)
-    out_ref[pl.ds(lo, C_WINDOW), :] += partial.astype(out_ref.dtype)
+    out_ref[pl.ds(lo, c_window), :] += partial.astype(out_ref.dtype)
 
 
-def _sigma_seg_bwd_kernel(lo_ref, ids_ref, gate_ref, scale_ref, shift_ref,
-                          env_ref, sender_ref, dsigma_ref, daggr_ref,
-                          dgate_ref, dscale_ref, dshift_ref, denv_ref,
-                          dsender_ref):
+def _sigma_seg_bwd_kernel(c_window, lo_ref, ids_ref, gate_ref, scale_ref,
+                          shift_ref, env_ref, sender_ref, dsigma_ref,
+                          daggr_ref, dgate_ref, dscale_ref, dshift_ref,
+                          denv_ref, dsender_ref):
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -149,9 +161,9 @@ def _sigma_seg_bwd_kernel(lo_ref, ids_ref, gate_ref, scale_ref, shift_ref,
     env = env_ref[...].astype(jnp.float32)
     sig = sig0 * env
     ids = ids_ref[t, :]
-    cols = jax.lax.broadcasted_iota(jnp.int32, (T_EDGES, C_WINDOW), 1) + lo
+    cols = jax.lax.broadcasted_iota(jnp.int32, (T_EDGES, c_window), 1) + lo
     onehot = (cols == ids[:, None]).astype(daggr_ref.dtype)  # [T, C]
-    dband = daggr_ref[pl.ds(lo, C_WINDOW), :]
+    dband = daggr_ref[pl.ds(lo, c_window), :]
     dvals = jnp.dot(onehot, dband,
                     preferred_element_type=jnp.float32)      # [T, d]
     sender = sender_ref[...].astype(jnp.float32)
@@ -165,88 +177,88 @@ def _sigma_seg_bwd_kernel(lo_ref, ids_ref, gate_ref, scale_ref, shift_ref,
     dshift_ref[...] += jnp.sum(da, axis=0)[None, :]
 
 
-def _sigma_specs(nt, n, d):
-    win = lambda shape: pl.BlockSpec(shape, lambda t, lo: (t, 0))
-    const = lambda shape: pl.BlockSpec(shape, lambda t, lo: (0, 0))
-    return win, const
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def sigma_segsum(gate, scale, shift, env, sender, e_in, ids_eff, lo,
+                 num_segments: int, c_window: int = C_WINDOW,
+                 interpret: bool = False):
+    """Fused sigmoid-gate chain + edge residual + sorted windowed scatter.
 
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
-def sigma_segsum(gate, scale, shift, env, sender, ids_eff, lo,
-                 num_segments: int, interpret: bool = False):
-    """Fused sigmoid-gate chain + sorted windowed scatter.
-
-    gate/sender [E, d]; scale/shift [d] (from masked BN stats + gamma/beta);
-    env [E, 1] (CosineCutoff, or ones); ids_eff [E] dst ids with pads set to
-    num_segments; lo [nt] window base rows. Returns (sigma [E, d],
-    aggr [num_segments, d]).
+    gate/sender/e_in [E, d]; scale/shift [d] (from masked BN stats +
+    gamma/beta); env [E, 1] (CosineCutoff, or ones); ids_eff [E] dst ids with
+    pads set to num_segments; lo [nt] window base rows; c_window static band
+    width (real ids of every window must span < c_window rows above lo).
+    Returns (e_out [E, d] = e_in + sigma, aggr [num_segments, d]).
     """
-    return _sigma_fwd_call(gate, scale, shift, env, sender, ids_eff, lo,
-                           num_segments, interpret)
+    return _sigma_fwd_call(gate, scale, shift, env, sender, e_in, ids_eff,
+                           lo, num_segments, c_window, interpret)
 
 
-def _sigma_fwd_call(gate, scale, shift, env, sender, ids_eff, lo,
-                    num_segments, interpret=False):
+def _sigma_fwd_call(gate, scale, shift, env, sender, e_in, ids_eff, lo,
+                    num_segments, c_window, interpret=False):
     E, d = gate.shape
     nt = E // T_EDGES
     ids2d = ids_eff.reshape(nt, T_EDGES).astype(jnp.int32)
-    win, const = _sigma_specs(nt, num_segments, d)
+    win = lambda shape: pl.BlockSpec(shape, lambda t, lo: (t, 0))
+    const = lambda shape: pl.BlockSpec(shape, lambda t, lo: (0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nt,),
         in_specs=[const((nt, T_EDGES)), win((T_EDGES, d)), const((1, d)),
-                  const((1, d)), win((T_EDGES, 1)), win((T_EDGES, d))],
+                  const((1, d)), win((T_EDGES, 1)), win((T_EDGES, d)),
+                  win((T_EDGES, d))],
         out_specs=[win((T_EDGES, d)),
-                   pl.BlockSpec((num_segments + C_WINDOW, d),
+                   pl.BlockSpec((num_segments + c_window, d),
                                 lambda t, lo: (0, 0))],
     )
-    sigma, out = pl.pallas_call(
-        _sigma_seg_kernel,
+    e_out, out = pl.pallas_call(
+        functools.partial(_sigma_seg_kernel, c_window),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((E, d), gate.dtype),
-                   jax.ShapeDtypeStruct((num_segments + C_WINDOW, d),
+        out_shape=[jax.ShapeDtypeStruct((E, d), e_in.dtype),
+                   jax.ShapeDtypeStruct((num_segments + c_window, d),
                                         jnp.float32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * E * C_WINDOW * d,
-            bytes_accessed=E * d * 4 * gate.dtype.itemsize,
+            flops=2 * E * c_window * d,
+            bytes_accessed=E * d * 5 * gate.dtype.itemsize,
             transcendentals=E * d),
     )(lo, ids2d, gate, scale.reshape(1, -1).astype(jnp.float32),
-      shift.reshape(1, -1).astype(jnp.float32), env, sender)
-    return sigma, out[:num_segments].astype(gate.dtype)
+      shift.reshape(1, -1).astype(jnp.float32), env, sender, e_in)
+    return e_out, out[:num_segments].astype(gate.dtype)
 
 
-def _sigma_fwd(gate, scale, shift, env, sender, ids_eff, lo, num_segments,
-               interpret):
-    out = _sigma_fwd_call(gate, scale, shift, env, sender, ids_eff, lo,
-                          num_segments, interpret)
+def _sigma_fwd(gate, scale, shift, env, sender, e_in, ids_eff, lo,
+               num_segments, c_window, interpret):
+    out = _sigma_fwd_call(gate, scale, shift, env, sender, e_in, ids_eff, lo,
+                          num_segments, c_window, interpret)
     return out, (gate, scale, shift, env, sender, ids_eff, lo)
 
 
-def _sigma_bwd(num_segments, interpret, res, cts):
+def _sigma_bwd(num_segments, c_window, interpret, res, cts):
     import numpy as np
     gate, scale, shift, env, sender, ids_eff, lo = res
-    dsigma, daggr = cts
+    deout, daggr = cts
+    dsigma = deout  # e_out = e_in + sigma: the residual backward is identity
     E, d = gate.shape
     nt = E // T_EDGES
     ids2d = ids_eff.reshape(nt, T_EDGES).astype(jnp.int32)
-    win, const = _sigma_specs(nt, num_segments, d)
+    win = lambda shape: pl.BlockSpec(shape, lambda t, lo: (t, 0))
+    const = lambda shape: pl.BlockSpec(shape, lambda t, lo: (0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nt,),
         in_specs=[const((nt, T_EDGES)), win((T_EDGES, d)), const((1, d)),
                   const((1, d)), win((T_EDGES, 1)), win((T_EDGES, d)),
                   win((T_EDGES, d)),
-                  pl.BlockSpec((num_segments + C_WINDOW, d),
+                  pl.BlockSpec((num_segments + c_window, d),
                                lambda t, lo: (0, 0))],
         out_specs=[win((T_EDGES, d)), const((1, d)), const((1, d)),
                    win((T_EDGES, 1)), win((T_EDGES, d))],
     )
     # pad daggr into the spill region the forward sliced off
-    daggr_full = jnp.zeros((num_segments + C_WINDOW, d), daggr.dtype)
+    daggr_full = jnp.zeros((num_segments + c_window, d), daggr.dtype)
     daggr_full = daggr_full.at[:num_segments].set(daggr)
     dgate, dscale, dshift, denv, dsender = pl.pallas_call(
-        _sigma_seg_bwd_kernel,
+        functools.partial(_sigma_seg_bwd_kernel, c_window),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((E, d), gate.dtype),
                    jax.ShapeDtypeStruct((1, d), jnp.float32),
@@ -255,7 +267,7 @@ def _sigma_bwd(num_segments, interpret, res, cts):
                    jax.ShapeDtypeStruct((E, d), sender.dtype)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * E * C_WINDOW * d,
+            flops=2 * E * c_window * d,
             bytes_accessed=E * d * 6 * gate.dtype.itemsize,
             transcendentals=E * d),
     )(lo, ids2d, gate, scale.reshape(1, -1).astype(jnp.float32),
@@ -263,6 +275,7 @@ def _sigma_bwd(num_segments, interpret, res, cts):
       daggr_full)
     return (dgate, dscale.reshape(scale.shape).astype(scale.dtype),
             dshift.reshape(shift.shape).astype(shift.dtype), denv, dsender,
+            deout,
             np.zeros(ids_eff.shape, jax.dtypes.float0),
             np.zeros(lo.shape, jax.dtypes.float0))
 

@@ -53,11 +53,13 @@ def _ref(a, dst, src):
 
 def test_forward_matches_reference(setup):
     a, dst, src, dst_lo, src_lo, mask = setup
-    gate_k, sender_k = edge_phase(a["xi"], a["xj"], a["e"], a["we"], a["b"],
-                                  a["w1g"], a["b1g"], a["w1a"], a["b1a"],
-                                  dst, src, dst_lo, src_lo, True)
+    gate_k, sender_k, e_res = edge_phase(
+        a["xi"], a["xj"], a["e"], a["we"], a["b"],
+        a["w1g"], a["b1g"], a["w1a"], a["b1a"],
+        dst, src, dst_lo, src_lo, True)
     gate_r, sender_r = _ref(a, dst, src)
     m = np.asarray(mask)
+    np.testing.assert_array_equal(np.asarray(e_res), np.asarray(a["e"]))
     np.testing.assert_allclose(np.asarray(gate_k)[m], np.asarray(gate_r)[m],
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(sender_k)[m],
@@ -70,19 +72,22 @@ def test_custom_vjp_matches_reference_grads(setup):
     key = jax.random.key(7)
     cg = jax.random.normal(key, (E, D)) * mask[:, None]
     cs = jax.random.normal(jax.random.split(key)[0], (E, D)) * mask[:, None]
+    ce = jax.random.normal(jax.random.split(key, 3)[2], (E, D))
     names = list(a.keys())
 
     def loss_kernel(*vals):
         aa = dict(zip(names, vals))
-        g, s = edge_phase(aa["xi"], aa["xj"], aa["e"], aa["we"], aa["b"],
-                          aa["w1g"], aa["b1g"], aa["w1a"], aa["b1a"],
-                          dst, src, dst_lo, src_lo, True)
-        return jnp.sum(g * cg) + jnp.sum(s * cs)
+        g, s, er = edge_phase(aa["xi"], aa["xj"], aa["e"], aa["we"], aa["b"],
+                              aa["w1g"], aa["b1g"], aa["w1a"], aa["b1a"],
+                              dst, src, dst_lo, src_lo, True)
+        # the e_res cotangent exercises the fused de accumulation in the bwd
+        # kernel (residual add folded into de)
+        return jnp.sum(g * cg) + jnp.sum(s * cs) + jnp.sum(er * ce)
 
     def loss_ref(*vals):
         aa = dict(zip(names, vals))
         g, s = _ref(aa, dst, src)
-        return jnp.sum(g * cg) + jnp.sum(s * cs)
+        return jnp.sum(g * cg) + jnp.sum(s * cs) + jnp.sum(aa["e"] * ce)
 
     vals = [a[k] for k in names]
     gk = jax.grad(loss_kernel, argnums=tuple(range(len(vals))))(*vals)

@@ -26,7 +26,8 @@ def setup():
     mk = lambda k, *s: jax.random.normal(k, s, jnp.float32) * 0.5
     return (batch, dict(gate=mk(ks[0], E, D), sender=mk(ks[1], E, D),
                         scale=1.0 + 0.1 * mk(ks[2], D), shift=mk(ks[3], D),
-                        env=jax.nn.sigmoid(mk(ks[4], E, 1))))
+                        env=jax.nn.sigmoid(mk(ks[4], E, 1)),
+                        e_in=mk(ks[5], E, D)))
 
 
 def _ids_lo(batch):
@@ -42,17 +43,18 @@ def _ref(a, batch):
     aggr = jax.ops.segment_sum(sig * a["sender"] * m,
                                jnp.asarray(batch.edge_dst),
                                num_segments=N, indices_are_sorted=True)
-    return sig, aggr
+    return a["e_in"] + sig, aggr
 
 
 def test_sigma_forward_matches(setup):
     batch, a = setup
     ids_eff, lo = _ids_lo(batch)
-    sig_k, aggr_k = sigma_segsum(a["gate"], a["scale"], a["shift"], a["env"],
-                                 a["sender"], ids_eff, lo, N, True)
-    sig_r, aggr_r = _ref(a, batch)
+    eout_k, aggr_k = sigma_segsum(a["gate"], a["scale"], a["shift"], a["env"],
+                                  a["sender"], a["e_in"], ids_eff, lo, N,
+                                  256, True)
+    eout_r, aggr_r = _ref(a, batch)
     m = np.asarray(batch.edge_mask)
-    np.testing.assert_allclose(np.asarray(sig_k)[m], np.asarray(sig_r)[m],
+    np.testing.assert_allclose(np.asarray(eout_k)[m], np.asarray(eout_r)[m],
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(aggr_k), np.asarray(aggr_r),
                                rtol=1e-4, atol=1e-5)
@@ -66,12 +68,13 @@ def test_sigma_vjp_matches(setup):
     mask = jnp.asarray(batch.edge_mask)
     c_sig = jax.random.normal(key, (E, D)) * mask[:, None]
     c_agg = jax.random.normal(jax.random.split(key)[0], (N, D))
-    names = ["gate", "scale", "shift", "env", "sender"]
+    names = ["gate", "scale", "shift", "env", "sender", "e_in"]
 
     def loss_k(*vals):
         aa = dict(zip(names, vals))
         s, g = sigma_segsum(aa["gate"], aa["scale"], aa["shift"], aa["env"],
-                            aa["sender"], ids_eff, lo, N, True)
+                            aa["sender"], aa["e_in"], ids_eff, lo, N,
+                            256, True)
         return jnp.sum(s * c_sig) + jnp.sum(g * c_agg)
 
     def loss_r(*vals):
@@ -80,12 +83,12 @@ def test_sigma_vjp_matches(setup):
         return jnp.sum(s * c_sig) + jnp.sum(g * c_agg)
 
     vals = [a[k] for k in names]
-    gk = jax.grad(loss_k, argnums=tuple(range(5)))(*vals)
-    gr = jax.grad(loss_r, argnums=tuple(range(5)))(*vals)
+    gk = jax.grad(loss_k, argnums=tuple(range(6)))(*vals)
+    gr = jax.grad(loss_r, argnums=tuple(range(6)))(*vals)
     m = np.asarray(batch.edge_mask)
     for name, k_, r_ in zip(names, gk, gr):
         kk, rr = np.asarray(k_), np.asarray(r_)
-        if kk.ndim == 2 and kk.shape[0] == E:
+        if kk.ndim == 2 and kk.shape[0] == E and name != "e_in":
             kk, rr = kk[m], rr[m]  # pad-row cotangents may differ (masked)
         np.testing.assert_allclose(kk, rr, rtol=2e-4, atol=2e-4,
                                    err_msg=name)
