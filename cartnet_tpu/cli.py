@@ -89,6 +89,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="capture a jax.profiler trace of the first train "
                         "epoch to <run_dir>/profile (view with xprof/"
                         "tensorboard)")
+    p.add_argument("--no_guard", action="store_false", dest="guard",
+                   help="disable the device-side non-finite step guard and "
+                        "divergence rollback (train/guard.py)")
+    p.add_argument("--guard_retries", type=int, default=2,
+                   help="checkpoint rollbacks allowed before aborting a "
+                        "diverging run")
+    p.add_argument("--heartbeat", type=str, default=None,
+                   help="path of an atomic JSON liveness file updated every "
+                        "epoch + every --heartbeat_interval seconds; "
+                        "external watchdogs poll it (train/guard.py)")
+    p.add_argument("--heartbeat_interval", type=float, default=30.0)
     return p
 
 
@@ -124,9 +135,16 @@ def args_to_config(args) -> Config:
     par = ParallelConfig(dp=args.dp, ep=args.ep,
                          halo=getattr(args, "halo", False),
                          halo_max=getattr(args, "halo_max", None))
+    from cartnet_tpu.config import GuardConfig
+    guard = GuardConfig(
+        enabled=getattr(args, "guard", True),
+        max_retries=getattr(args, "guard_retries", 2),
+        heartbeat_path=getattr(args, "heartbeat", None),
+        heartbeat_interval=getattr(args, "heartbeat_interval", 30.0))
     run_dir = os.path.join("results", args.name, str(args.seed))
     return Config(model=model, data=data, optim=optim, parallel=par,
-                  seed=args.seed, name=args.name, run_dir=run_dir)
+                  guard=guard, seed=args.seed, name=args.name,
+                  run_dir=run_dir)
 
 
 def load_datasets(cfg: Config, limit=None) -> Tuple[List[dict], List[dict], List[dict]]:

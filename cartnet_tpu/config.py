@@ -104,11 +104,24 @@ class ParallelConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class GuardConfig:
+    """Failure detection / elastic recovery (train/guard.py; SURVEY §5 —
+    subsystem the reference lacks entirely)."""
+
+    enabled: bool = True         # device-side non-finite step skip + counter
+    max_bad_fraction: float = 0.5  # epoch bad-step fraction triggering rollback
+    max_retries: int = 2         # checkpoint rollbacks before giving up
+    heartbeat_path: Optional[str] = None  # atomic liveness file (None = off)
+    heartbeat_interval: float = 30.0
+
+
+@dataclasses.dataclass(frozen=True)
 class Config:
     model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
     data: DataConfig = dataclasses.field(default_factory=DataConfig)
     optim: OptimConfig = dataclasses.field(default_factory=OptimConfig)
     parallel: ParallelConfig = dataclasses.field(default_factory=ParallelConfig)
+    guard: GuardConfig = dataclasses.field(default_factory=GuardConfig)
     seed: int = 0
     name: str = "CartNet"
     run_dir: str = "results"

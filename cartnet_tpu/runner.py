@@ -216,7 +216,19 @@ def train(cfg: Config, state, model_apply, optimizer, pipes, resume=False,
         return train_epoch(state, train_pipe, micro, update,
                            cfg.optim.batch_accumulation, loggers[0], lr_fn)
 
-    for epoch in range(start_epoch, cfg.optim.max_epoch):
+    # failure detection / elastic recovery (train/guard.py, SURVEY §5):
+    # heartbeat liveness file + divergence rollback to the last checkpoint
+    from cartnet_tpu.train.guard import GuardMonitor, Heartbeat
+    hb = Heartbeat(cfg.guard.heartbeat_path, cfg.guard.heartbeat_interval)
+    hb.start()
+    hb.beat(status="startup", epoch=start_epoch, name=cfg.name)
+    monitor = (GuardMonitor(cfg.guard.max_bad_fraction,
+                            cfg.guard.max_retries)
+               if cfg.guard.enabled else None)
+    state0 = jax.device_get(state)  # pre-donation host copy for epoch-0 rollback
+
+    epoch = start_epoch
+    while epoch < cfg.optim.max_epoch:
         t0 = time.perf_counter()
         if profile and epoch == start_epoch:
             # device+host trace of the first epoch (compile excluded for
@@ -235,6 +247,24 @@ def train(cfg: Config, state, model_apply, optimizer, pipes, resume=False,
         epoch_times.append(time.perf_counter() - t0)
 
         val_mae = perf["val"][-1]["MAE"]
+        if monitor is not None:
+            bad_total = int(jax.device_get(state.bad_steps))
+            if monitor.epoch_report(bad_total, max(len(train_pipe), 1),
+                                    float(val_mae)):
+                logging.warning(
+                    "epoch %d diverged (bad_steps=%d, val MAE %s); rolling "
+                    "back to last checkpoint (retry %d/%d)", epoch, bad_total,
+                    val_mae, monitor.retries, cfg.guard.max_retries)
+                if ckpt.latest_step(last_dir) is not None:
+                    state, _ = ckpt.restore_checkpoint(last_dir, state)
+                else:
+                    state = jax.tree.map(jax.numpy.asarray, state0)
+                monitor.note_rollback(int(jax.device_get(state.bad_steps)))
+                # fold the RNG so the retry's augmentations diverge
+                state = state.replace(
+                    rng=jax.random.fold_in(state.rng, 7919 + epoch))
+                hb.beat(status="rollback", epoch=epoch)
+                continue  # retry the same epoch from the restored state
         if val_mae < best_val:
             best_val, best_epoch = val_mae, epoch
             ckpt.save_checkpoint(best_dir, state,
@@ -251,6 +281,9 @@ def train(cfg: Config, state, model_apply, optimizer, pipes, resume=False,
         logging.info("> Epoch %d: %.1fs (avg %.1fs) | best epoch %d "
                      "val_MAE %.5f", epoch, epoch_times[-1],
                      np.mean(epoch_times), best_epoch, best_val)
+        hb.beat(status="training", epoch=epoch,
+                step=int(jax.device_get(state.step)), best_val=float(best_val))
+        epoch += 1
 
     # final test with best params (train/train.py:114-117); on ADP targets
     # the test epoch additionally logs the voxelized 3D IoU so stats.json has
@@ -263,6 +296,7 @@ def train(cfg: Config, state, model_apply, optimizer, pipes, resume=False,
     test_stats = loggers[2].write_epoch(best_epoch)  # logs itself
     wb.log({f"test/{k}": v for k, v in test_stats.items()})
     wb.finish()
+    hb.stop()
     return state, test_stats
 
 

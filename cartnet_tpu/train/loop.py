@@ -80,7 +80,8 @@ def init_train_state(key, cfg: Config, model_init, optimizer) -> TrainState:
     zeros = jax.tree.map(jnp.zeros_like, params)
     return TrainState(params=params, bn_state=bn_state, opt_state=opt_state,
                       grad_accum=zeros, accum_count=jnp.zeros((), jnp.int32),
-                      step=jnp.zeros((), jnp.int32), rng=rkey)
+                      step=jnp.zeros((), jnp.int32), rng=rkey,
+                      bad_steps=jnp.zeros((), jnp.int32))
 
 
 def make_steps(cfg: Config, model_apply, optimizer):
@@ -91,9 +92,19 @@ def make_steps(cfg: Config, model_apply, optimizer):
         (loss, (mae, mse, new_bn, pred, mask)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.bn_state, batch,
                                    model_apply, cfg, True)
+        ok = jnp.asarray(True)
+        if cfg.guard.enabled:
+            # non-finite steps contribute nothing and don't advance the
+            # accumulation cadence (train/guard.py)
+            from cartnet_tpu.train.guard import guard_contribution
+            ok, grads, new_bn = guard_contribution(loss, grads, new_bn,
+                                                   state.bn_state)
         acc = jax.tree.map(jnp.add, state.grad_accum, grads)
         state = state.replace(bn_state=new_bn, grad_accum=acc,
-                              accum_count=state.accum_count + 1)
+                              accum_count=state.accum_count
+                              + ok.astype(jnp.int32),
+                              bad_steps=state.bad_steps
+                              + (1 - ok.astype(jnp.int32)))
         stats = _stats_with_adp(cfg, {"loss": loss, "MAE": mae, "MSE": mse},
                                 pred, batch.y, mask)
         return state, stats
@@ -228,6 +239,13 @@ def make_fused_chunk(cfg: Config, model_apply, optimizer, num_steps: int):
         (loss, (mae, mse, new_bn, _, _)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.bn_state, batch,
                                    model_apply, cfg, True)
+        bad = jnp.asarray(False)
+        if cfg.guard.enabled:
+            from cartnet_tpu.train.guard import guard_contribution
+            ok, grads, new_bn = guard_contribution(loss, grads, new_bn,
+                                                   state.bn_state)
+            bad = valid & ~ok   # dummy tail pads are not failures
+            valid = valid & ok
         v = valid.astype(jnp.float32)
         grads = jax.tree.map(lambda g: g * v, grads)
         new_bn = jax.tree.map(lambda a, b: jnp.where(valid, a, b),
@@ -235,7 +253,9 @@ def make_fused_chunk(cfg: Config, model_apply, optimizer, num_steps: int):
         acc = jax.tree.map(jnp.add, state.grad_accum, grads)
         state = state.replace(bn_state=new_bn, grad_accum=acc,
                               accum_count=state.accum_count
-                              + valid.astype(jnp.int32))
+                              + valid.astype(jnp.int32),
+                              bad_steps=state.bad_steps
+                              + bad.astype(jnp.int32))
         state = lax.cond(state.accum_count >= accum, apply_update,
                          lambda s: s, state)
         return state, {"loss": loss * v, "MAE": mae * v, "MSE": mse * v,
@@ -321,11 +341,24 @@ def make_fused_steps(cfg: Config, model_apply, optimizer, num_steps: int):
         (loss, (mae, mse, new_bn, _, _)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.bn_state, batch,
                                    model_apply, cfg, True)
-        updates, opt_state = optimizer.update(grads, state.opt_state,
-                                              state.params)
-        params = optax.apply_updates(state.params, updates)
-        state = state.replace(params=params, bn_state=new_bn,
-                              opt_state=opt_state, step=state.step + 1)
+
+        def apply(state):
+            updates, opt_state = optimizer.update(grads, state.opt_state,
+                                                  state.params)
+            params = optax.apply_updates(state.params, updates)
+            return state.replace(params=params, opt_state=opt_state,
+                                 step=state.step + 1)
+
+        if cfg.guard.enabled:
+            from cartnet_tpu.train.guard import guard_contribution
+            ok, grads, new_bn = guard_contribution(loss, grads, new_bn,
+                                                   state.bn_state)
+            state = jax.lax.cond(ok, apply, lambda s: s, state)
+            state = state.replace(bad_steps=state.bad_steps
+                                  + (1 - ok.astype(jnp.int32)))
+        else:
+            state = apply(state)
+        state = state.replace(bn_state=new_bn)
         return state, {"loss": loss, "MAE": mae}
 
     @functools.partial(jax.jit, donate_argnums=0)

@@ -24,3 +24,5 @@ class TrainState:
     accum_count: jnp.ndarray  # [] int32 micro-batches accumulated
     step: jnp.ndarray         # [] int32 optimizer updates applied
     rng: jnp.ndarray          # jax PRNG key (for augmentation etc.)
+    bad_steps: jnp.ndarray = 0  # [] int32 non-finite micro-steps skipped by
+                                # the device-side guard (train/guard.py)
