@@ -66,6 +66,11 @@ class CrystalBatch:
     edge_dst_lo: Optional[jnp.ndarray] = None     # [E/T] int32
     edge_src_lo: Optional[jnp.ndarray] = None     # [E/T] int32
     edge_fuse_ok: bool = flax.struct.field(pytree_node=False, default=False)
+    # per-window count of 128-row src blocks actually spanned (1..C_SRC/128);
+    # the fused kernel skips the unused block matmuls per window (pl.when) —
+    # the src one-hot is its dominant FLOP term. Zeros when edge_fuse_ok
+    # is False.
+    edge_src_nblk: Optional[jnp.ndarray] = None   # [E/T] int32
     # host-precomputed edge_src[edge_src_perm] (ascending): the gather VJP
     # needs the sorted ids, and an s32 gather ON DEVICE runs at ~2 GiB/s
     edge_src_sorted: Optional[jnp.ndarray] = None  # [E] int32
