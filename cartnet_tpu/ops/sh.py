@@ -9,7 +9,7 @@ sphere) and pre-normalized input directions.
 Because both tensor products in the block only combine scalars with SH
 (0e ⊗ l -> l) or contract equal-l pairs (l ⊗ l -> 0e), the only
 Clebsch-Gordan data needed are products and dot-contractions — implemented in
-ops/tensor_product.py as closed forms; no general CG tables.
+models/equivariant.py as closed forms; no general CG tables.
 
 NB: the basis ordering/normalization is self-consistent and exactly
 equivariant (D-matrices orthogonal), but not bit-identical to e3nn's internal

@@ -31,17 +31,33 @@ def save_checkpoint(path: str, state: TrainState, meta: Optional[Dict] = None):
 
 def restore_checkpoint(path: str, template: TrainState
                        ) -> Tuple[TrainState, Dict]:
-    """Restore the latest step; template provides structure/shapes/shardings."""
+    """Restore the latest step; template provides structure/shapes/shardings.
+
+    Checkpoints written before ``TrainState`` grew new leaves (e.g.
+    ``bad_steps``) restore against a pruned template and the missing leaves
+    are backfilled from ``template`` — old run dirs stay resumable.
+    """
     path = os.path.abspath(path)
     with ocp.CheckpointManager(path) as mgr:
         step = mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint under {path}")
-        restored = mgr.restore(
-            step, args=ocp.args.Composite(
-                state=ocp.args.StandardRestore(template),
-                meta=ocp.args.JsonRestore()))
-    return restored["state"], restored["meta"] or {}
+        try:
+            restored = mgr.restore(
+                step, args=ocp.args.Composite(
+                    state=ocp.args.StandardRestore(template),
+                    meta=ocp.args.JsonRestore()))
+            return restored["state"], restored["meta"] or {}
+        except (ValueError, KeyError):
+            # legacy layout: restore the raw pytree, overlay onto template
+            restored = mgr.restore(
+                step, args=ocp.args.Composite(
+                    state=ocp.args.StandardRestore(),
+                    meta=ocp.args.JsonRestore()))
+    raw = restored["state"]
+    fields = {k: jax.tree.map(lambda x: x, raw[k])
+              for k in raw if hasattr(template, k)}
+    return template.replace(**fields), restored["meta"] or {}
 
 
 def latest_step(path: str) -> Optional[int]:

@@ -54,8 +54,11 @@ def guard_contribution(loss, grads, new_bn, old_bn):
     apart from the bad_steps counter.
     """
     ok = jnp.isfinite(loss) & tree_all_finite(grads)
-    okf = ok.astype(jnp.float32)
-    grads = jax.tree.map(lambda g: g * okf.astype(g.dtype), grads)
+    # select, NOT multiply: IEEE NaN/Inf * 0.0 = NaN, so a multiplicative mask
+    # would write NaN into the grad accumulator exactly when the gradients
+    # themselves are non-finite (the canonical bf16-overflow divergence this
+    # guard exists for)
+    grads = jax.tree.map(lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads)
     bn = jax.tree.map(lambda a, b: jnp.where(ok, a, b), new_bn, old_bn)
     return ok, grads, bn
 
@@ -75,17 +78,21 @@ class Heartbeat:
         self.path = path
         self.interval = interval
         self._payload: Dict[str, Any] = {}
+        self._lock = threading.Lock()  # beat() vs pulse-thread copy
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
 
     def beat(self, **fields):
         if not self.path:
             return
-        self._payload.update(fields)
+        with self._lock:
+            self._payload = {**self._payload, **fields}  # atomic swap
         self._write()
 
     def _write(self):
-        payload = {**self._payload, "time": time.time(), "pid": os.getpid()}
+        with self._lock:
+            payload = {**self._payload, "time": time.time(),
+                       "pid": os.getpid()}
         tmp = f"{self.path}.tmp.{os.getpid()}"
         with open(tmp, "w") as f:
             json.dump(payload, f)
@@ -98,7 +105,11 @@ class Heartbeat:
 
         def pulse():
             while not self._stop.wait(self.interval):
-                self._write()
+                try:
+                    self._write()
+                except Exception:  # a dead pulse = falsely-stale heartbeat
+                    import logging
+                    logging.exception("heartbeat pulse write failed")
 
         self._thread = threading.Thread(target=pulse, daemon=True)
         self._thread.start()
@@ -139,11 +150,15 @@ class GuardMonitor:
     because endlessly retrying a diverging run burns chips.
     """
 
-    def __init__(self, max_bad_fraction: float = 0.5, max_retries: int = 2):
+    def __init__(self, max_bad_fraction: float = 0.5, max_retries: int = 2,
+                 initial_bad_steps: int = 0):
+        # ``initial_bad_steps``: the restored TrainState.bad_steps on --resume;
+        # without it the first epoch's bad delta would include the prior run's
+        # cumulative count and could trigger a spurious rollback.
         self.max_bad_fraction = max_bad_fraction
         self.max_retries = max_retries
         self.retries = 0
-        self._last_bad = 0
+        self._last_bad = int(initial_bad_steps)
 
     def epoch_report(self, bad_steps_total: int, micro_steps: int,
                      val_metric: float) -> bool:

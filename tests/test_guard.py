@@ -53,6 +53,41 @@ def test_tree_all_finite():
     assert bool(tree_all_finite({"i": jnp.arange(3)}))  # ints ignored
 
 
+def test_guard_contribution_nonfinite_grads():
+    """Non-finite GRADIENTS (not just loss) must gate to exact zeros — a
+    multiplicative mask would produce NaN (NaN*0=NaN) and permanently poison
+    the accumulator (ADVICE r2, high)."""
+    from cartnet_tpu.train.guard import guard_contribution
+    grads = {"w": jnp.array([jnp.inf, 1.0]), "b": jnp.array([jnp.nan])}
+    bn_new, bn_old = {"m": jnp.ones(2)}, {"m": jnp.zeros(2)}
+    ok, g, bn = guard_contribution(jnp.asarray(0.5), grads, bn_new, bn_old)
+    assert not bool(ok)
+    np.testing.assert_array_equal(np.asarray(g["w"]), np.zeros(2))
+    np.testing.assert_array_equal(np.asarray(g["b"]), np.zeros(1))
+    np.testing.assert_array_equal(np.asarray(bn["m"]), np.zeros(2))
+    # finite grads with a NaN loss are also gated
+    ok2, g2, _ = guard_contribution(jnp.asarray(jnp.nan),
+                                    {"w": jnp.ones(2)}, bn_new, bn_old)
+    assert not bool(ok2)
+    np.testing.assert_array_equal(np.asarray(g2["w"]), np.zeros(2))
+    # a fully healthy step passes through untouched
+    ok3, g3, bn3 = guard_contribution(jnp.asarray(0.1),
+                                      {"w": jnp.ones(2)}, bn_new, bn_old)
+    assert bool(ok3)
+    np.testing.assert_array_equal(np.asarray(g3["w"]), np.ones(2))
+    np.testing.assert_array_equal(np.asarray(bn3["m"]), np.ones(2))
+
+
+def test_monitor_resume_baseline():
+    """A resumed run's historic bad_steps must not count against the first
+    epoch's bad fraction (ADVICE r2, medium)."""
+    m = GuardMonitor(max_bad_fraction=0.5, max_retries=2,
+                     initial_bad_steps=90)
+    # healthy resumed epoch: 90 historic + 1 new bad out of 10 steps
+    assert not m.epoch_report(bad_steps_total=91, micro_steps=10,
+                              val_metric=1.0)
+
+
 def test_micro_step_skips_nonfinite():
     cfg = _cfg(enabled=True)
     good, bad = _batches()
