@@ -44,6 +44,9 @@ def choose_pad_sizes_from_counts(nodes: np.ndarray, edges: np.ndarray,
                                  batch_size: int, node_multiple: int = 128,
                                  edge_multiple: int = 512,
                                  safety: float = 1.0, edge_align: int = 0):
+    """``node_multiple``/``edge_multiple`` scale with the mesh: an ep-sharded
+    edge axis must split into whole Pallas windows (E % ep*T_EDGES == 0) and a
+    halo node axis into aligned member blocks (N % 8*ep == 0)."""
     if edge_align:
         edges = (-(-np.asarray(edges) // edge_align)) * edge_align
     return _choose_pad_sizes_from_counts(nodes, edges, batch_size,
@@ -94,7 +97,8 @@ class BatchPipeline:
                  rotate_targets: bool = True, seed: int = 0,
                  drop_last: bool = False, prefetch: int = 2,
                  cache: Optional[bool] = None, workers: int = 0,
-                 buckets: int = 1, edge_align: Optional[int] = None):
+                 buckets: int = 1, edge_align: Optional[int] = None,
+                 node_multiple: int = 128, edge_multiple: int = 512):
         """``buckets`` > 1: records are split into size quantiles (by edge
         count), each bucket padded to ITS OWN worst batch — bounds the pad
         waste a heavy size tail causes under a single global shape, at the
@@ -117,13 +121,15 @@ class BatchPipeline:
                                 if len(b)]
             self._bucket_sizes = [
                 choose_pad_sizes_from_counts(nodes[b], edges[b], batch_size,
+                                             node_multiple, edge_multiple,
                                              edge_align=self.edge_align)
                 for b in self._bucket_idx]
             max_nodes = max(s[0] for s in self._bucket_sizes)
             max_edges = max(s[1] for s in self._bucket_sizes)
         elif max_nodes is None or max_edges is None:
             max_nodes, max_edges = choose_pad_sizes_from_counts(
-                nodes, edges, batch_size, edge_align=self.edge_align)
+                nodes, edges, batch_size, node_multiple, edge_multiple,
+                edge_align=self.edge_align)
         self.max_nodes, self.max_edges = max_nodes, max_edges
         self.shuffle = shuffle
         self.augment = augment
@@ -171,7 +177,19 @@ class BatchPipeline:
                         for r in recs]
             yield collate(recs, mn, me, bs, edge_align=self.edge_align)
 
-    def _make_batches(self) -> Iterator[CrystalBatch]:
+    def bucket_batch_counts(self):
+        """Batches per bucket (a single pseudo-bucket when unbucketed) —
+        lets dp super-batch consumers (runner.ShardedPipeline) compute their
+        exact step count: groups never span a bucket boundary."""
+        div = (lambda n: n // self.batch_size) if self.drop_last else (
+            lambda n: -(-n // self.batch_size))
+        if self._bucket_idx is not None:
+            return [div(len(b)) for b in self._bucket_idx]
+        return [div(len(self.records))]
+
+    def _make_batches(self) -> Iterator[tuple]:
+        """Yields (bucket_id, batch) pairs; bucket_id is stable across epochs
+        (shuffle permutes visit ORDER, not identity)."""
         if self._bucket_idx is not None:
             border = np.arange(len(self._bucket_idx))
             if self.shuffle:
@@ -180,14 +198,18 @@ class BatchPipeline:
                 order = self._bucket_idx[bi].copy()
                 if self.shuffle:
                     self._rng.shuffle(order)
-                yield from self._emit(order, *self._bucket_sizes[bi])
+                for b in self._emit(order, *self._bucket_sizes[bi]):
+                    yield int(bi), b
             return
         order = np.arange(len(self.records))
         if self.shuffle:
             self._rng.shuffle(order)
-        yield from self._emit(order, self.max_nodes, self.max_edges)
+        for b in self._emit(order, self.max_nodes, self.max_edges):
+            yield 0, b
 
-    def __iter__(self) -> Iterator[CrystalBatch]:
+    def iter_with_bucket(self) -> Iterator[tuple]:
+        """(bucket_id, batch) pairs with the same cache/prefetch behavior as
+        plain iteration."""
         if self.cache:
             if self._cached is None:
                 self._cached = list(self._make_batches())
@@ -202,8 +224,8 @@ class BatchPipeline:
 
         def producer():
             try:
-                for b in self._make_batches():
-                    q.put(b)
+                for pair in self._make_batches():
+                    q.put(pair)
             finally:
                 q.put(done)
 
@@ -215,3 +237,7 @@ class BatchPipeline:
                 break
             yield item
         t.join()
+
+    def __iter__(self) -> Iterator[CrystalBatch]:
+        for _, b in self.iter_with_bucket():
+            yield b

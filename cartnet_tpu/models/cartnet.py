@@ -128,14 +128,50 @@ def _dual_edge_mlp(p, x, e, batch: CrystalBatch,
     b = jnp.concatenate([bg, ba])
 
     if batch.halo_send_idx is not None:
-        from cartnet_tpu.parallel.halo import halo_table
+        # the boundary exchange is dispatched FIRST: everything until the
+        # recv-dependent ops below is independent of it, so XLA's async
+        # collective scheduling hides the all_to_all behind the local
+        # projections + interior gathers (SURVEY §7.7 overlap north star)
         send_idx = batch.halo_send_idx.reshape(
             batch.halo_send_idx.shape[-2:])  # [ep, H] member block
-        table = halo_table(x, send_idx, ep_axis)
-        xi = jnp.dot(table, wi, preferred_element_type=x.dtype)
-        xj = jnp.dot(table, wj, preferred_element_type=x.dtype)
-        gi = xi[batch.edge_dst]   # dst is member-local (< n_per)
-        gj = xj[batch.edge_src]   # src indexes [local ‖ recv] table
+        send = x[send_idx]  # [ep, H, d] rows destined for each member
+        recv = jax.lax.all_to_all(send, ep_axis, split_axis=0, concat_axis=0)
+        recv_rows = recv.reshape(-1, x.shape[-1])
+        n_per = x.shape[0]
+        # dst is member-local (< n_per): project only the local rows for xi
+        xi = jnp.dot(x, wi, preferred_element_type=x.dtype)
+        import os
+        if (batch.edge_fuse_ok and batch.edge_dst_lo is not None
+                and os.environ.get("CARTNET_EDGE_FUSE", "1") == "1"):
+            from cartnet_tpu.ops.pallas import edge_kernels as ek
+            from cartnet_tpu.ops.pallas.segment_kernels import on_tpu
+            n_table = n_per + recv_rows.shape[0]
+            if ek.edge_fuse_shapes_ok(batch.num_edges, n_per, d,
+                                      x.dtype.itemsize,
+                                      num_src_nodes=n_table):
+                # member-local fused window kernel over the halo table
+                # (plans from parallel/halo.py::to_halo). The kernel consumes
+                # the whole table, so this path trades overlap for the much
+                # larger fused-gather win.
+                table = jnp.concatenate([x, recv_rows], axis=0)
+                xj = jnp.dot(table, wj, preferred_element_type=x.dtype)
+                return ek.edge_phase(
+                    xi, xj, e, we, b,
+                    p["mlp_gate"]["lin1"]["w"], p["mlp_gate"]["lin1"]["b"],
+                    p["mlp_aggr"]["lin1"]["w"], p["mlp_aggr"]["lin1"]["b"],
+                    batch.edge_dst, batch.edge_src,
+                    batch.edge_dst_lo, batch.edge_src_lo,
+                    batch.edge_src_nblk, not on_tpu())
+        # overlap path: interior (src-local) gathers + xi/xj projections run
+        # while the exchange flies; only the boundary select waits on recv
+        xj_loc = jnp.dot(x, wj, preferred_element_type=x.dtype)
+        gi = xi[batch.edge_dst]
+        is_local = batch.edge_src < n_per
+        gj_loc = xj_loc[jnp.where(is_local, batch.edge_src, 0)]
+        xj_rec = jnp.dot(recv_rows, wj, preferred_element_type=x.dtype)
+        gj_rec = xj_rec[jnp.clip(batch.edge_src - n_per, 0,
+                                 max(recv_rows.shape[0] - 1, 0))]
+        gj = jnp.where(is_local[:, None], gj_loc, gj_rec)
     else:
         xi = jnp.dot(x, wi, preferred_element_type=x.dtype)      # [N, 2d]
         xj = jnp.dot(x, wj, preferred_element_type=x.dtype)
@@ -153,7 +189,8 @@ def _dual_edge_mlp(p, x, e, batch: CrystalBatch,
                     p["mlp_gate"]["lin1"]["w"], p["mlp_gate"]["lin1"]["b"],
                     p["mlp_aggr"]["lin1"]["w"], p["mlp_aggr"]["lin1"]["b"],
                     batch.edge_dst, batch.edge_src,
-                    batch.edge_dst_lo, batch.edge_src_lo, not on_tpu())
+                    batch.edge_dst_lo, batch.edge_src_lo,
+                    batch.edge_src_nblk, not on_tpu())
         if batch.edge_src_perm is None:
             # shard_map path: no batch-global permutation; plain gathers (the
             # custom-vjp collective-typing doesn't compose with vma tracking).
@@ -202,7 +239,7 @@ def layer_apply(p, state, x, e, batch: CrystalBatch, cfg: ModelConfig,
                                      cfg.radius))
 
     sigma_fused = False
-    if batch.pallas_seg_ok and not halo and ep_axis is None:
+    if batch.pallas_seg_ok:
         from cartnet_tpu.ops.pallas.segment_kernels import (
             C_WINDOW, on_tpu, pallas_shapes_ok, sigma_segsum)
         from cartnet_tpu.ops.pallas.edge_kernels import C_DST, T_EDGES
@@ -215,6 +252,12 @@ def layer_apply(p, state, x, e, batch: CrystalBatch, cfg: ModelConfig,
             # outside so the full train-mode BN backward composes through
             # scale/shift. Graph-aligned batches (edge_fuse_ok) guarantee a
             # dst span < C_DST per window, halving the scatter band.
+            # Sharded modes compose member-locally: inside shard_map E/N are
+            # the member's window-aligned shard (collate plans per member —
+            # parallel/step.py, parallel/halo.py); halo dst is member-owned
+            # so the kernel output IS the full aggregate, while the
+            # replicated-node ep layout psums partials exactly like the
+            # unfused path below.
             from cartnet_tpu.nn.norm import masked_bn_scale_shift
             scale, shift, bn_s = masked_bn_scale_shift(
                 p["bn"], state["bn"], gate, batch.edge_mask,
@@ -230,6 +273,8 @@ def layer_apply(p, state, x, e, batch: CrystalBatch, cfg: ModelConfig,
                                        env_col.astype(gate.dtype), sender,
                                        e_res, ids_eff, lo, N, c_win,
                                        not on_tpu())
+            if ep_axis is not None and not halo:
+                aggr = jax.lax.psum(aggr, ep_axis)
             sigma_fused = True
 
     if not sigma_fused:

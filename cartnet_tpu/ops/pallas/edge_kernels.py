@@ -36,6 +36,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from cartnet_tpu.ops.pallas.vma import psum_to, pvary_to, vma_union
+
 T_EDGES = 512   # edges per window (must divide E)
 C_DST = 128     # dst row band per window
 # src row band per window: covers ONE crystal's node range when collate
@@ -45,22 +47,36 @@ C_DST = 128     # dst row band per window
 # 384 covers the ADP size distribution's bulk (avg 194 atoms); batches with
 # larger crystals fall back to the unfused XLA path per collate's check.
 C_SRC = 384
+# src sub-band granularity: the src band is gathered as up to C_SRC/SRC_BLK
+# MXU-native [T, 128] one-hot matmuls and each window SKIPS the blocks beyond
+# its real span (edge_src_nblk, planned host-side) — the src one-hot is the
+# kernel's dominant FLOP term and most ADP windows span <= 2 blocks.
+SRC_BLK = 128
 
 
-def edge_windows_ok(dst, src, mask, num_nodes: int
+def edge_windows_ok(dst, src, mask, num_nodes: int,
+                    num_src_nodes: int = None
                     ) -> Tuple[bool, np.ndarray, np.ndarray]:
     """Host-side soundness check + per-window band base rows.
 
-    Returns (ok, dst_lo [nt], src_lo [nt]); lo rows are aligned down to 8 and
-    clamped so the band stays inside [0, num_nodes]. Only REAL edges bind the
-    span; pad edges produce all-zero one-hot rows (masked downstream).
+    Returns (ok, dst_lo [nt], src_lo [nt], src_nblk [nt]); lo rows are
+    aligned down to 8 and clamped so the band stays inside [0, num_nodes]
+    (dst) respectively [0, num_src_nodes] (src — differs in halo mode, where
+    src indexes the [local ‖ recv] member table). ``src_nblk`` is the number
+    of SRC_BLK blocks the window's real src span covers (1..C_SRC/SRC_BLK);
+    the kernel skips the rest. Only REAL edges bind the span; pad edges
+    produce all-zero one-hot rows (masked downstream).
     """
+    if num_src_nodes is None:
+        num_src_nodes = num_nodes
     e = len(dst)
     if e % T_EDGES != 0:
-        return False, None, None
+        return False, None, None, None
     nt = e // T_EDGES
     dst_lo = np.zeros(nt, np.int32)
     src_lo = np.zeros(nt, np.int32)
+    src_nblk = np.zeros(nt, np.int32)
+    max_blk = C_SRC // SRC_BLK
     for t in range(nt):
         sl = slice(t * T_EDGES, (t + 1) * T_EDGES)
         m = mask[sl]
@@ -69,14 +85,25 @@ def edge_windows_ok(dst, src, mask, num_nodes: int
         d_real = dst[sl][m]
         s_real = src[sl][m]
         dlo = min((int(d_real.min()) // 8) * 8, max(num_nodes - C_DST, 0))
-        slo = min((int(s_real.min()) // 8) * 8, max(num_nodes - C_SRC, 0))
         if int(d_real.max()) - dlo >= C_DST:
-            return False, None, None
-        if int(s_real.max()) - slo >= C_SRC:
-            return False, None, None
+            return False, None, None, None
+        smax = int(s_real.max())
+        slo = min((int(s_real.min()) // 8) * 8,
+                  max(num_src_nodes - C_SRC, 0))
+        # fewest blocks covering the span, with every used block inside the
+        # table (slo + SRC_BLK*nb <= num_src_nodes); clamping slo down can
+        # grow the span by one block, so iterate
+        while True:
+            nb = -(-(smax + 1 - slo) // SRC_BLK)
+            if nb > max_blk:
+                return False, None, None, None
+            if slo + SRC_BLK * nb <= num_src_nodes:
+                break
+            slo = ((num_src_nodes - SRC_BLK * nb) // 8) * 8
         dst_lo[t] = dlo
         src_lo[t] = slo
-    return True, dst_lo, src_lo
+        src_nblk[t] = nb
+    return True, dst_lo, src_lo, src_nblk
 
 
 def _onehot(ids, lo, c, dtype):
@@ -84,32 +111,45 @@ def _onehot(ids, lo, c, dtype):
     return (cols == (ids - lo)[:, None]).astype(dtype)
 
 
-def _window_pre_h(t, dlo_ref, slo_ref, dids_ref, sids_ref, xi_ref, xj_ref,
-                  e_ref, we_ref, b_ref):
-    """Recomputable core: returns (e_w, oh_d, oh_s, pre_f32, h_bf) for window t."""
+def _fwd_kernel(dlo_ref, slo_ref, nblk_ref, dids_ref, sids_ref, xi_ref,
+                xj_ref, e_ref, we_ref, b_ref, w1g_ref, b1g_ref, w1a_ref,
+                b1a_ref, gate_ref, sender_ref, pre_ref, acc_ref):
+    t = pl.program_id(0)
+    d = w1g_ref.shape[0]
     dlo = pl.multiple_of(dlo_ref[t], 8)
     slo = pl.multiple_of(slo_ref[t], 8)
     cdt = xi_ref.dtype
     oh_d = _onehot(dids_ref[t], dlo, C_DST, cdt)          # [T, C_DST]
-    oh_s = _onehot(sids_ref[t], slo, C_SRC, cdt)          # [T, C_SRC]
-    xi_band = xi_ref[pl.ds(dlo, C_DST), :]                # [C_DST, 2d]
-    xj_band = xj_ref[pl.ds(slo, C_SRC), :]
-    gi = jnp.dot(oh_d, xi_band, preferred_element_type=jnp.float32)
-    gj = jnp.dot(oh_s, xj_band, preferred_element_type=jnp.float32)
+    gi = jnp.dot(oh_d, xi_ref[pl.ds(dlo, C_DST), :],
+                 preferred_element_type=jnp.float32)
     e_w = e_ref[...]                                      # [T, d]
     ew = jnp.dot(e_w, we_ref[...], preferred_element_type=jnp.float32)
-    pre = gi + gj + ew + b_ref[...].astype(jnp.float32)
+    import os
+    sids = sids_ref[t]
+    # default: one unconditional C_SRC-wide one-hot dot in registers. The
+    # per-block pl.when skip (CARTNET_SRC_SKIP=1) saves ~25% of the one-hot
+    # FLOPs at mean nblk≈2.2 but costs a VMEM scratch accumulator round-trip
+    # per window — measured NET -5% on the full bench step (bench A/B
+    # 2026-08-21: 6.41M vs 6.12M edges/s), while the BACKWARD dxj block skip
+    # below is pure win (no scratch). Keep the fwd skip behind the env flag
+    # for shapes where nblk is mostly 1.
+    if os.environ.get("CARTNET_SRC_SKIP", "0") == "1":
+        acc_ref[...] = gi + ew + b_ref[...].astype(jnp.float32)
+        for k in range(C_SRC // SRC_BLK):
+            @pl.when(nblk_ref[t] > k)
+            def _(k=k):
+                blo = pl.multiple_of(slo + k * SRC_BLK, 8)
+                oh_k = _onehot(sids, blo, SRC_BLK, cdt)
+                acc_ref[...] += jnp.dot(
+                    oh_k, xj_ref[pl.ds(blo, SRC_BLK), :],
+                    preferred_element_type=jnp.float32)
+        pre = acc_ref[...]
+    else:  # register path: one unconditional C_SRC-wide one-hot dot
+        oh_s = _onehot(sids, slo, C_SRC, cdt)
+        gj = jnp.dot(oh_s, xj_ref[pl.ds(slo, C_SRC), :],
+                     preferred_element_type=jnp.float32)
+        pre = gi + gj + ew + b_ref[...].astype(jnp.float32)
     h = jax.nn.silu(pre).astype(cdt)
-    return e_w, oh_d, oh_s, pre, h
-
-
-def _fwd_kernel(dlo_ref, slo_ref, dids_ref, sids_ref, xi_ref, xj_ref, e_ref,
-                we_ref, b_ref, w1g_ref, b1g_ref, w1a_ref, b1a_ref,
-                gate_ref, sender_ref, pre_ref):
-    t = pl.program_id(0)
-    d = w1g_ref.shape[0]
-    _, _, _, pre, h = _window_pre_h(t, dlo_ref, slo_ref, dids_ref, sids_ref,
-                                    xi_ref, xj_ref, e_ref, we_ref, b_ref)
     gate = jnp.dot(h[:, :d], w1g_ref[...],
                    preferred_element_type=jnp.float32) + b1g_ref[...]
     sender = jnp.dot(h[:, d:], w1a_ref[...],
@@ -122,9 +162,9 @@ def _fwd_kernel(dlo_ref, slo_ref, dids_ref, sids_ref, xi_ref, xj_ref, e_ref,
     pre_ref[...] = pre.astype(pre_ref.dtype)
 
 
-def _bwd_kernel(dlo_ref, slo_ref, dids_ref, sids_ref, xi_ref, xj_ref, e_ref,
-                we_ref, b_ref, w1g_ref, b1g_ref, w1a_ref, b1a_ref,
-                pre_saved_ref, dgate_ref, dsender_ref, deres_ref,
+def _bwd_kernel(dlo_ref, slo_ref, nblk_ref, dids_ref, sids_ref, xi_ref,
+                xj_ref, e_ref, we_ref, b_ref, w1g_ref, b1g_ref, w1a_ref,
+                b1a_ref, pre_saved_ref, dgate_ref, dsender_ref, deres_ref,
                 de_ref, dxi_ref, dxj_ref, dwe_ref, db_ref,
                 dw1g_ref, db1g_ref, dw1a_ref, db1a_ref):
     t = pl.program_id(0)
@@ -145,7 +185,6 @@ def _bwd_kernel(dlo_ref, slo_ref, dids_ref, sids_ref, xi_ref, xj_ref, e_ref,
     dlo = pl.multiple_of(dlo_ref[t], 8)
     slo = pl.multiple_of(slo_ref[t], 8)
     oh_d = _onehot(dids_ref[t], dlo, C_DST, cdt)
-    oh_s = _onehot(sids_ref[t], slo, C_SRC, cdt)
     e_w = e_ref[...]
     pre = pre_saved_ref[...].astype(jnp.float32)  # saved by the fwd kernel
     h = jax.nn.silu(pre).astype(cdt)
@@ -182,21 +221,29 @@ def _bwd_kernel(dlo_ref, slo_ref, dids_ref, sids_ref, xi_ref, xj_ref, e_ref,
         preferred_element_type=jnp.float32)).astype(de_ref.dtype)
     dwe_ref[...] += jax.lax.dot_general(
         e_w, dpre_c, dims_tt, preferred_element_type=jnp.float32)
-    # banded scatter: dxi[band] += oh_d^T @ dpre
+    # banded scatter: dxi[band] += oh_d^T @ dpre; dxj per src block with the
+    # same skip as the forward gather (disjoint row ranges per block)
     dxi_ref[pl.ds(dlo, C_DST), :] += jax.lax.dot_general(
         oh_d, dpre_c, dims_tt, preferred_element_type=jnp.float32)
-    dxj_ref[pl.ds(slo, C_SRC), :] += jax.lax.dot_general(
-        oh_s, dpre_c, dims_tt, preferred_element_type=jnp.float32)
+    sids = sids_ref[t]
+    for k in range(C_SRC // SRC_BLK):
+        @pl.when(nblk_ref[t] > k)
+        def _(k=k):
+            blo = pl.multiple_of(slo + k * SRC_BLK, 8)
+            oh_k = _onehot(sids, blo, SRC_BLK, cdt)
+            dxj_ref[pl.ds(blo, SRC_BLK), :] += jax.lax.dot_general(
+                oh_k, dpre_c, dims_tt, preferred_element_type=jnp.float32)
 
 
-def _specs(nt, n, e, d, t_win):
-    const = lambda shape: pl.BlockSpec(shape, lambda t, dlo, slo: (0, 0))
-    win = lambda shape: pl.BlockSpec(shape, lambda t, dlo, slo: (t, 0))
+def _specs(nt, n_i, n_j, e, d, t_win):
+    # n_i/n_j may differ: in halo mode xj is the [local ‖ recv] member table
+    const = lambda shape: pl.BlockSpec(shape, lambda t, dlo, slo, nb: (0, 0))
+    win = lambda shape: pl.BlockSpec(shape, lambda t, dlo, slo, nb: (t, 0))
     return [
         const((nt, t_win)),   # dst ids
         const((nt, t_win)),   # src ids
-        const((n, 2 * d)),    # xi
-        const((n, 2 * d)),    # xj
+        const((n_i, 2 * d)),  # xi
+        const((n_j, 2 * d)),  # xj
         win((t_win, d)),      # e window
         const((d, 2 * d)),    # we
         const((1, 2 * d)),    # b
@@ -216,57 +263,90 @@ def _prep(xi, xj, dst, src, dst_lo, src_lo):
 
 
 def edge_phase_fwd(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src,
-                   dst_lo, src_lo, interpret: bool = False):
-    n, d2 = xi.shape
+                   dst_lo, src_lo, src_nblk=None, interpret: bool = False):
+    n_i, d2 = xi.shape
+    n_j = xj.shape[0]
     d = d2 // 2
     E = e.shape[0]
+    if src_nblk is None:
+        src_nblk = jnp.full(E // T_EDGES, C_SRC // SRC_BLK, jnp.int32)
+    # uniform vma: under shard_map the node tables may be replicated over ep
+    # while the edge windows vary (ops/pallas/vma.py)
+    vma = vma_union(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src,
+                    dst_lo, src_lo, src_nblk)
+    if interpret and vma:
+        # sharded CPU-mesh path: Pallas interpret mode cannot type-check
+        # under shard_map vma — use the jnp twin (ops/pallas/reference.py)
+        from cartnet_tpu.ops.pallas.reference import edge_phase_fwd_ref
+        return edge_phase_fwd_ref(xi, xj, e, we, b, w1g, b1g, w1a, b1a,
+                                  dst, src)
+    (xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, dst_lo, src_lo,
+     src_nblk) = (
+        pvary_to(a, vma) for a in
+        (xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, dst_lo, src_lo,
+         src_nblk))
     nt, dids, sids = _prep(xi, xj, dst, src, dst_lo, src_lo)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(nt,),
-        in_specs=_specs(nt, n, E, d, T_EDGES),
-        out_specs=[pl.BlockSpec((T_EDGES, d), lambda t, dlo, slo: (t, 0)),
-                   pl.BlockSpec((T_EDGES, d), lambda t, dlo, slo: (t, 0)),
+        in_specs=_specs(nt, n_i, n_j, E, d, T_EDGES),
+        out_specs=[pl.BlockSpec((T_EDGES, d), lambda t, dlo, slo, nb: (t, 0)),
+                   pl.BlockSpec((T_EDGES, d), lambda t, dlo, slo, nb: (t, 0)),
                    pl.BlockSpec((T_EDGES, 2 * d),
-                                lambda t, dlo, slo: (t, 0))],
+                                lambda t, dlo, slo, nb: (t, 0))],
+        scratch_shapes=[pltpu.VMEM((T_EDGES, 2 * d), jnp.float32)],
     )
     flops = 2 * E * (C_DST + C_SRC) * 2 * d + 2 * E * d * 2 * d * 2
     gate, sender, pre = pl.pallas_call(
         _fwd_kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((E, d), xi.dtype),
-                   jax.ShapeDtypeStruct((E, d), xi.dtype),
-                   jax.ShapeDtypeStruct((E, 2 * d), xi.dtype)],
+        out_shape=[jax.ShapeDtypeStruct((E, d), xi.dtype, vma=vma),
+                   jax.ShapeDtypeStruct((E, d), xi.dtype, vma=vma),
+                   jax.ShapeDtypeStruct((E, 2 * d), xi.dtype, vma=vma)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=E * d * 5 * xi.dtype.itemsize,
             transcendentals=E * 2 * d),
-    )(dst_lo, src_lo, dids, sids, xi, xj, e,
+    )(dst_lo, src_lo, src_nblk, dids, sids, xi, xj, e,
       we, b.reshape(1, -1), w1g, b1g.reshape(1, -1), w1a, b1a.reshape(1, -1))
     return gate, sender, pre
 
 
 def edge_phase_bwd_call(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src,
-                        dst_lo, src_lo, pre, dgate, dsender, deres,
+                        dst_lo, src_lo, src_nblk, pre, dgate, dsender, deres,
                         interpret: bool = False):
-    n, d2 = xi.shape
+    n_i, d2 = xi.shape
+    n_j = xj.shape[0]
     d = d2 // 2
     E = e.shape[0]
+    if src_nblk is None:
+        src_nblk = jnp.full(E // T_EDGES, C_SRC // SRC_BLK, jnp.int32)
+    vma = vma_union(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src,
+                    dst_lo, src_lo, src_nblk, pre, dgate, dsender, deres)
+    if interpret and vma:
+        from cartnet_tpu.ops.pallas.reference import edge_phase_bwd_ref
+        return edge_phase_bwd_ref(xi, xj, e, we, w1g, w1a, dst, src, pre,
+                                  dgate, dsender, deres)
+    (xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, dst_lo, src_lo,
+     src_nblk, pre, dgate, dsender, deres) = (
+        pvary_to(a, vma) for a in
+        (xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, dst_lo, src_lo,
+         src_nblk, pre, dgate, dsender, deres))
     nt, dids, sids = _prep(xi, xj, dst, src, dst_lo, src_lo)
-    win = lambda shape: pl.BlockSpec(shape, lambda t, dlo, slo: (t, 0))
-    const = lambda shape: pl.BlockSpec(shape, lambda t, dlo, slo: (0, 0))
+    win = lambda shape: pl.BlockSpec(shape, lambda t, dlo, slo, nb: (t, 0))
+    const = lambda shape: pl.BlockSpec(shape, lambda t, dlo, slo, nb: (0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(nt,),
-        in_specs=_specs(nt, n, E, d, T_EDGES) + [win((T_EDGES, 2 * d)),
+        in_specs=_specs(nt, n_i, n_j, E, d, T_EDGES) + [win((T_EDGES, 2 * d)),
                                                  win((T_EDGES, d)),
                                                  win((T_EDGES, d)),
                                                  win((T_EDGES, d))],
         out_specs=[
             win((T_EDGES, d)),        # de
-            const((n, 2 * d)),        # dxi (f32 accumulator)
-            const((n, 2 * d)),        # dxj
+            const((n_i, 2 * d)),      # dxi (f32 accumulator)
+            const((n_j, 2 * d)),      # dxj
             const((d, 2 * d)),        # dwe
             const((1, 2 * d)),        # db
             const((d, d)),            # dw1g
@@ -280,76 +360,96 @@ def edge_phase_bwd_call(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src,
         _bwd_kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((E, d), e.dtype),
-            jax.ShapeDtypeStruct((n, 2 * d), jnp.float32),
-            jax.ShapeDtypeStruct((n, 2 * d), jnp.float32),
-            jax.ShapeDtypeStruct((d, 2 * d), jnp.float32),
-            jax.ShapeDtypeStruct((1, 2 * d), jnp.float32),
-            jax.ShapeDtypeStruct((d, d), jnp.float32),
-            jax.ShapeDtypeStruct((1, d), jnp.float32),
-            jax.ShapeDtypeStruct((d, d), jnp.float32),
-            jax.ShapeDtypeStruct((1, d), jnp.float32),
+            jax.ShapeDtypeStruct((E, d), e.dtype, vma=vma),
+            jax.ShapeDtypeStruct((n_i, 2 * d), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((n_j, 2 * d), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((d, 2 * d), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((1, 2 * d), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((d, d), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((1, d), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((d, d), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((1, d), jnp.float32, vma=vma),
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=E * d * 5 * xi.dtype.itemsize,
             transcendentals=E * 2 * d),
-    )(dst_lo, src_lo, dids, sids, xi, xj, e,
+    )(dst_lo, src_lo, src_nblk, dids, sids, xi, xj, e,
       we, b.reshape(1, -1), w1g, b1g.reshape(1, -1), w1a, b1a.reshape(1, -1),
       pre, dgate, dsender, deres)
     return outs
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(13,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(14,))
 def edge_phase(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, dst_lo,
-               src_lo, interpret: bool = False):
+               src_lo, src_nblk=None, interpret: bool = False):
     """Fused gather+MLP edge phase -> (gate, sender, e_res), [E, d] each.
 
     e_res is e passed through unchanged (zero cost forward). Route the
     layer's edge residual through it (e_out = e_res + sigma) so that the
     residual's backward add folds into this op's de output instead of a
-    separate XLA [E,d] pass.
+    separate XLA [E,d] pass. ``src_nblk`` [nt]: per-window src block count
+    from edge_windows_ok (None -> no skipping).
     """
     gate, sender, _ = edge_phase_fwd(xi, xj, e, we, b, w1g, b1g, w1a, b1a,
-                                     dst, src, dst_lo, src_lo, interpret)
+                                     dst, src, dst_lo, src_lo, src_nblk,
+                                     interpret)
     return gate, sender, e
 
 
 def _ep_fwd(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, dst_lo, src_lo,
-            interpret):
+            src_nblk, interpret):
     gate, sender, pre = edge_phase_fwd(xi, xj, e, we, b, w1g, b1g, w1a, b1a,
-                                       dst, src, dst_lo, src_lo, interpret)
+                                       dst, src, dst_lo, src_lo, src_nblk,
+                                       interpret)
     return (gate, sender, e), (xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src,
-                               dst_lo, src_lo, pre)
+                               dst_lo, src_lo, src_nblk, pre)
 
 
 def _ep_bwd(interpret, res, cts):
     (xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, dst_lo, src_lo,
-     pre) = res
+     src_nblk, pre) = res
     dgate, dsender, deres = cts
     (de, dxi, dxj, dwe, db, dw1g, db1g, dw1a, db1a) = edge_phase_bwd_call(
         xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, dst_lo, src_lo,
-        pre, dgate, dsender, deres, interpret)
+        src_nblk, pre, dgate, dsender, deres, interpret)
+    # under shard_map every grad above is a per-member partial accumulated
+    # over that member's edge windows; inputs replicated across mesh axes
+    # (node tables over ep, weights over everything) need their partials
+    # psum'd back to the primal's vma (no-op single-device / for edge arrays)
+    vma = vma_union(dgate, dsender, deres, xi, xj, e)
+    de = psum_to(de, e, vma)
+    dxi, dxj = psum_to(dxi, xi, vma), psum_to(dxj, xj, vma)
+    dwe, db = psum_to(dwe, we, vma), psum_to(db, b, vma)
+    dw1g, db1g = psum_to(dw1g, w1g, vma), psum_to(db1g, b1g, vma)
+    dw1a, db1a = psum_to(dw1a, w1a, vma), psum_to(db1a, b1a, vma)
     f0 = lambda a: np.zeros(a.shape, jax.dtypes.float0)
     return (dxi.astype(xi.dtype), dxj.astype(xj.dtype), de,
             dwe.astype(we.dtype), db.reshape(-1).astype(b.dtype),
             dw1g.astype(w1g.dtype), db1g.reshape(-1).astype(b1g.dtype),
             dw1a.astype(w1a.dtype), db1a.reshape(-1).astype(b1a.dtype),
-            f0(dst), f0(src), f0(dst_lo), f0(src_lo))
+            f0(dst), f0(src), f0(dst_lo), f0(src_lo),
+            None if src_nblk is None else f0(src_nblk))
 
 
 edge_phase.defvjp(_ep_fwd, _ep_bwd)
 
 
 def edge_fuse_shapes_ok(num_edges: int, num_nodes: int, dim: int,
-                        itemsize: int = 2) -> bool:
-    """Static gate: window divisibility, lane alignment, VMEM budget."""
+                        itemsize: int = 2, num_src_nodes: int = None) -> bool:
+    """Static gate: window divisibility, lane alignment, VMEM budget.
+    ``num_src_nodes``: rows of the src table when it differs from the dst
+    table (halo [local ‖ recv] layout)."""
+    if num_src_nodes is None:
+        num_src_nodes = num_nodes
     d2 = 2 * dim
-    vmem = (2 * num_nodes * d2 * itemsize   # xi/xj resident
-            + 2 * num_nodes * d2 * 4        # bwd dxi/dxj f32 accumulators
+    rows = num_nodes + num_src_nodes
+    vmem = (rows * d2 * itemsize            # xi/xj resident
+            + rows * d2 * 4                 # bwd dxi/dxj f32 accumulators
             + 3 * dim * d2 * 4              # weight grads
             + 6 * T_EDGES * d2 * 4)         # window intermediates
     return (num_edges % T_EDGES == 0 and dim % 128 == 0
-            and num_nodes % 8 == 0 and num_nodes >= C_SRC
+            and num_nodes % 8 == 0 and num_src_nodes % 8 == 0
+            and num_nodes >= C_DST and num_src_nodes >= C_SRC
             and vmem < 14 * 1024 * 1024)

@@ -27,6 +27,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from cartnet_tpu.ops.pallas.vma import psum_to, pvary_to, vma_union
+
 T_EDGES = 512   # edges per window (grid step)
 C_WINDOW = 256  # node-row band per window
 
@@ -54,6 +56,16 @@ def segment_sum_sorted_window(values, ids_eff, num_segments: int,
     E, D = values.shape
     assert E % T_EDGES == 0, E
     nt = E // T_EDGES
+    # under shard_map each member calls this on its local windows; tag the
+    # output with the union of the inputs' varying axes (ops/pallas/vma.py)
+    vma = vma_union(values, ids_eff)
+    if interpret and vma:
+        # Pallas interpret mode cannot type-check under shard_map vma —
+        # dispatch to the exact jnp twin (ops/pallas/reference.py)
+        from cartnet_tpu.ops.pallas.reference import (
+            segment_sum_sorted_window_ref)
+        return segment_sum_sorted_window_ref(values, ids_eff, num_segments)
+    values, ids_eff = pvary_to(values, vma), pvary_to(ids_eff, vma)
     # window base rows, aligned DOWN to the f32 sublane multiple (8) so the
     # dynamic accumulate offset is provably aligned for Mosaic
     lo = ((ids_eff[::T_EDGES] // 8) * 8).astype(jnp.int32)
@@ -73,7 +85,7 @@ def segment_sum_sorted_window(values, ids_eff, num_segments: int,
         _seg_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_segments + C_WINDOW, D),
-                                       values.dtype),
+                                       values.dtype, vma=vma),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * E * C_WINDOW * D,
@@ -197,6 +209,16 @@ def _sigma_fwd_call(gate, scale, shift, env, sender, e_in, ids_eff, lo,
                     num_segments, c_window, interpret=False):
     E, d = gate.shape
     nt = E // T_EDGES
+    # uniform vma across operands (scale/shift are replicated BN params under
+    # shard_map; the edge arrays vary over the mesh axes) — see vma.py
+    vma = vma_union(gate, scale, shift, env, sender, e_in, ids_eff, lo)
+    if interpret and vma:
+        from cartnet_tpu.ops.pallas.reference import sigma_fwd_ref
+        return sigma_fwd_ref(gate, scale, shift, env, sender, e_in,
+                             ids_eff, num_segments)
+    gate, scale, shift, env, sender, e_in, ids_eff, lo = (
+        pvary_to(a, vma) for a in
+        (gate, scale, shift, env, sender, e_in, ids_eff, lo))
     ids2d = ids_eff.reshape(nt, T_EDGES).astype(jnp.int32)
     win = lambda shape: pl.BlockSpec(shape, lambda t, lo: (t, 0))
     const = lambda shape: pl.BlockSpec(shape, lambda t, lo: (0, 0))
@@ -213,9 +235,9 @@ def _sigma_fwd_call(gate, scale, shift, env, sender, e_in, ids_eff, lo,
     e_out, out = pl.pallas_call(
         functools.partial(_sigma_seg_kernel, c_window),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((E, d), e_in.dtype),
+        out_shape=[jax.ShapeDtypeStruct((E, d), e_in.dtype, vma=vma),
                    jax.ShapeDtypeStruct((num_segments + c_window, d),
-                                        jnp.float32)],
+                                        jnp.float32, vma=vma)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * E * c_window * d,
@@ -240,7 +262,27 @@ def _sigma_bwd(num_segments, c_window, interpret, res, cts):
     dsigma = deout  # e_out = e_in + sigma: the residual backward is identity
     E, d = gate.shape
     nt = E // T_EDGES
-    ids2d = ids_eff.reshape(nt, T_EDGES).astype(jnp.int32)
+    vma = vma_union(gate, scale, shift, env, sender, ids_eff, lo, deout,
+                    daggr)
+    if interpret and vma:
+        from cartnet_tpu.ops.pallas.reference import sigma_bwd_ref
+        dgate, dscale, dshift, denv, dsender = sigma_bwd_ref(
+            gate, scale, shift, env, sender, ids_eff, deout, daggr,
+            num_segments)
+        dgate = psum_to(dgate, gate, vma)
+        dscale = psum_to(dscale, scale, vma)
+        dshift = psum_to(dshift, shift, vma)
+        denv = psum_to(denv, env, vma)
+        dsender = psum_to(dsender, sender, vma)
+        return (dgate, dscale.reshape(scale.shape).astype(scale.dtype),
+                dshift.reshape(shift.shape).astype(shift.dtype), denv,
+                dsender, deout,
+                np.zeros(ids_eff.shape, jax.dtypes.float0),
+                np.zeros(lo.shape, jax.dtypes.float0))
+    gate_v, scale_v, shift_v, env_v, sender_v, ids_v, lo_v, dsigma, daggr = (
+        pvary_to(a, vma) for a in
+        (gate, scale, shift, env, sender, ids_eff, lo, dsigma, daggr))
+    ids2d = ids_v.reshape(nt, T_EDGES).astype(jnp.int32)
     win = lambda shape: pl.BlockSpec(shape, lambda t, lo: (t, 0))
     const = lambda shape: pl.BlockSpec(shape, lambda t, lo: (0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -256,23 +298,31 @@ def _sigma_bwd(num_segments, c_window, interpret, res, cts):
     )
     # pad daggr into the spill region the forward sliced off
     daggr_full = jnp.zeros((num_segments + c_window, d), daggr.dtype)
-    daggr_full = daggr_full.at[:num_segments].set(daggr)
+    daggr_full = pvary_to(daggr_full, vma).at[:num_segments].set(daggr)
     dgate, dscale, dshift, denv, dsender = pl.pallas_call(
         functools.partial(_sigma_seg_bwd_kernel, c_window),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((E, d), gate.dtype),
-                   jax.ShapeDtypeStruct((1, d), jnp.float32),
-                   jax.ShapeDtypeStruct((1, d), jnp.float32),
-                   jax.ShapeDtypeStruct((E, 1), env.dtype),
-                   jax.ShapeDtypeStruct((E, d), sender.dtype)],
+        out_shape=[jax.ShapeDtypeStruct((E, d), gate.dtype, vma=vma),
+                   jax.ShapeDtypeStruct((1, d), jnp.float32, vma=vma),
+                   jax.ShapeDtypeStruct((1, d), jnp.float32, vma=vma),
+                   jax.ShapeDtypeStruct((E, 1), env.dtype, vma=vma),
+                   jax.ShapeDtypeStruct((E, d), sender.dtype, vma=vma)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * E * c_window * d,
             bytes_accessed=E * d * 6 * gate.dtype.itemsize,
             transcendentals=E * d),
-    )(lo, ids2d, gate, scale.reshape(1, -1).astype(jnp.float32),
-      shift.reshape(1, -1).astype(jnp.float32), env, sender, dsigma,
+    )(lo_v, ids2d, gate_v, scale_v.reshape(1, -1).astype(jnp.float32),
+      shift_v.reshape(1, -1).astype(jnp.float32), env_v, sender_v, dsigma,
       daggr_full)
+    # each cotangent must come back at its PRIMAL's vma: replicated params
+    # (scale/shift under shard_map) accumulated per-member partial grads that
+    # psum over the axes they were broadcast to; varying inputs are no-ops
+    dgate = psum_to(dgate, gate, vma)
+    dscale = psum_to(dscale, scale, vma)
+    dshift = psum_to(dshift, shift, vma)
+    denv = psum_to(denv, env, vma)
+    dsender = psum_to(dsender, sender, vma)
     return (dgate, dscale.reshape(scale.shape).astype(scale.dtype),
             dshift.reshape(shift.shape).astype(shift.dtype), denv, dsender,
             deout,

@@ -82,13 +82,17 @@ def gather_sorted_vjp(values, idx, perm, idx_sorted, pallas_ok: bool = False):
 def _gsv_fwd(values, idx, perm, idx_sorted, pallas_ok):
     # NB: custom_vjp passes fwd the ORIGINAL positional signature (nondiff
     # args stay in place); only bwd gets nondiff args as leading arguments.
+    # values[:0] is a zero-size probe carrying values' vma: under shard_map
+    # the cotangent (varying like idx, e.g. over ep) must be psum'd back to
+    # the primal's vma or the whole grad pytree is inferred ep-varying.
     return (values.at[idx].get(mode="promise_in_bounds"),
-            (idx, perm, idx_sorted, values.shape[0]))
+            (idx, perm, idx_sorted, values.shape[0], values[:0]))
 
 
 def _gsv_bwd(pallas_ok, res, ct):
     import numpy as np  # only for float0 integer cotangents
-    idx, perm, idx_sorted, n = res
+    from cartnet_tpu.ops.pallas.vma import psum_to, vma_union
+    idx, perm, idx_sorted, n, values_probe = res
     if perm is None:
         ct_s, ids_s = ct, idx  # idx already ascending
     else:
@@ -99,6 +103,8 @@ def _gsv_bwd(pallas_ok, res, ct):
             on_tpu, pallas_shapes_ok, segment_sum_sorted_window)
         if on_tpu() and pallas_shapes_ok(ct.shape[0], ct.shape[1], n):
             ct_values = segment_sum_sorted_window(ct_s, ids_s, n)
+            ct_values = psum_to(ct_values, values_probe,
+                                vma_union(ct, idx))
             return (ct_values, np.zeros(idx.shape, jax.dtypes.float0),
                     None if perm is None
                     else np.zeros(perm.shape, jax.dtypes.float0),
@@ -106,6 +112,7 @@ def _gsv_bwd(pallas_ok, res, ct):
                     else np.zeros(idx_sorted.shape, jax.dtypes.float0))
     ct_values = jax.ops.segment_sum(ct_s, ids_s, num_segments=n,
                                     indices_are_sorted=True)
+    ct_values = psum_to(ct_values, values_probe, vma_union(ct, idx))
     return (ct_values, np.zeros(idx.shape, jax.dtypes.float0),
             None if perm is None else np.zeros(perm.shape, jax.dtypes.float0),
             None if idx_sorted is None

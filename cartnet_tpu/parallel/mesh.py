@@ -35,8 +35,8 @@ def make_mesh(dp: int = 1, ep: int = 1,
     return Mesh(arr, ("dp", "ep"))
 
 
-def batch_pspecs(halo: bool = False,
-                 node_targets: bool = False) -> CrystalBatch:
+def batch_pspecs(halo: bool = False, node_targets: bool = False,
+                 with_perm: bool = False) -> CrystalBatch:
     """PartitionSpec per CrystalBatch field (leading-axis layout).
 
     Replicated-node layout (halo=False): node/graph arrays split over dp only
@@ -48,6 +48,12 @@ def batch_pspecs(halo: bool = False,
     over ep (member-major blocks from to_halo), as are node-aligned targets;
     graph arrays stay replicated within the dp slice (graph slots are global
     there). halo_send_idx/mask are member-major on their leading axis.
+
+    The Pallas window plans (``edge_dst_lo``/``edge_src_lo``, one entry per
+    T_EDGES window) split like the edge axis, so every member receives the
+    plan rows for exactly its windows. ``with_perm``: the slice-local
+    src-sort permutation fields survive only when the edge axis is not split
+    over ep (see parallel/step.py::stack_for_shards).
     """
     node = P(("dp", "ep")) if halo else P("dp")
     edge = P(("dp", "ep"))
@@ -58,6 +64,9 @@ def batch_pspecs(halo: bool = False,
         edge_mask=edge,
         cell=graph, temperature=graph, graph_mask=graph,
         y=node if node_targets else graph,
+        edge_src_perm=edge if with_perm else None,
+        edge_src_sorted=edge if with_perm else None,
+        edge_dst_lo=edge, edge_src_lo=edge, edge_src_nblk=edge,
         halo_send_idx=P(("dp", "ep")) if halo else None,
         halo_send_mask=P(("dp", "ep")) if halo else None)
 

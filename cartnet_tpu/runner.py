@@ -39,33 +39,57 @@ class ShardedPipeline:
     for the shard_map step (each dp slice keeps LOCAL node indices).
 
     ``transform``: optional per-slice batch transform applied before stacking
-    (halo mode passes parallel.halo.to_halo here)."""
+    (halo mode passes parallel.halo.to_halo here).
 
-    def __init__(self, pipe, dp: int, transform=None):
+    Size-bucketed pipelines compose: a super-batch never spans a bucket
+    boundary (slices must share pad shapes), so each bucket contributes
+    ceil(batches/dp) super-steps and __len__ counts exactly that — the LR
+    schedule built from it matches the executed optimizer steps."""
+
+    def __init__(self, pipe, dp: int, transform=None, ep: int = 1):
         self.pipe = pipe
         self.dp = dp
+        self.ep = ep
         self.transform = transform
 
     def __len__(self):
+        if hasattr(self.pipe, "bucket_batch_counts"):
+            return sum(-(-c // self.dp)
+                       for c in self.pipe.bucket_batch_counts())
         return -(-len(self.pipe) // self.dp)
 
-    def __iter__(self):
+    def _pairs(self):
+        if hasattr(self.pipe, "iter_with_bucket"):
+            yield from self.pipe.iter_with_bucket()
+        else:
+            for b in self.pipe:
+                yield 0, b
+
+    def _close(self, group):
         import jax
         import jax.numpy as jnp
         from cartnet_tpu.parallel.step import stack_for_shards
-        group = []
-        for b in self.pipe:
+        if len(group) < self.dp:
+            # ragged tail / bucket boundary: fill with fully-masked dummy
+            # slices (zero masks -> zero loss/BN/grad contributions under the
+            # psum'd reductions). static kernel flags ride the treedef.
+            dummy = jax.tree.map(jnp.zeros_like, group[-1])
+            group = group + [dummy] * (self.dp - len(group))
+        return stack_for_shards(group, ep=self.ep)
+
+    def __iter__(self):
+        group, cur_bid = [], None
+        for bid, b in self._pairs():
+            if group and bid != cur_bid:
+                yield self._close(group)
+                group = []
+            cur_bid = bid
             group.append(self.transform(b) if self.transform else b)
             if len(group) == self.dp:
-                yield stack_for_shards(group)
+                yield self._close(group)
                 group = []
         if group:
-            # ragged tail: fill with fully-masked dummy slices (zero masks ->
-            # zero loss/BN/grad contributions under the psum'd reductions)
-            dummy = jax.tree.map(jnp.zeros_like, group[-1])
-            dummy = dummy.replace(pallas_seg_ok=group[-1].pallas_seg_ok)
-            group += [dummy] * (self.dp - len(group))
-            yield stack_for_shards(group)
+            yield self._close(group)
 
 
 def _pipelines(cfg: Config, splits):
@@ -76,20 +100,23 @@ def _pipelines(cfg: Config, splits):
     nodes = np.concatenate([c[0] for c in counts])
     edges = np.concatenate([c[1] for c in counts])
     align = edge_align_for(edges)
+    # mesh-aware pad multiples: the ep edge split must hand each member whole
+    # Pallas windows; halo member node blocks must stay 8-aligned
+    ep = max(cfg.parallel.ep, 1)
+    node_mult = 128 if 128 % (8 * ep) == 0 else 128 * ep
+    edge_mult = 512 * ep if ep > 1 else 512
     mn, me = choose_pad_sizes_from_counts(nodes, edges, cfg.data.batch_size,
+                                          node_mult, edge_mult,
                                           edge_align=align)
     # lazy (ADP-scale) sources stream via a fetch pool; in-memory lists don't
     # need one
     workers = 0 if isinstance(train, list) else 4
     buckets = cfg.data.buckets
-    if buckets > 1 and cfg.parallel.dp > 1:
-        logging.warning("buckets>1 requires dp=1 (dp super-batches must "
-                        "share shapes); using a single bucket")
-        buckets = 1
     mk = lambda recs, shuffle, augment, bs: BatchPipeline(
         recs, bs, mn, me, shuffle=shuffle, augment=augment,
         rotate_targets=cfg.model.cholesky, seed=cfg.seed, workers=workers,
-        buckets=buckets, edge_align=align)
+        buckets=buckets, edge_align=align,
+        node_multiple=node_mult, edge_multiple=edge_mult)
     return (mk(train, True, cfg.data.augment, cfg.data.batch_size),
             mk(val, False, False, cfg.data.batch_size),
             mk(test, False, False, cfg.data.batch_size))
@@ -108,9 +135,11 @@ def run(cfg: Config, args):
     model_init, model_apply = create_model(cfg.model)
     # under dp>1 the train pipe is later wrapped in ShardedPipeline (dp
     # batches per super-step), so the optimizer's OneCycle total_steps must
-    # be built from the SHARDED steps/epoch or the schedule never completes
-    optimizer = build_optimizer(cfg, sharded_steps_per_epoch(
-        len(train_pipe), cfg.parallel.dp))
+    # be built from the SHARDED steps/epoch or the schedule never completes;
+    # ShardedPipeline.__len__ is bucket-boundary-aware
+    steps_per_epoch = (len(ShardedPipeline(train_pipe, cfg.parallel.dp))
+                       if cfg.parallel.dp > 1 else len(train_pipe))
+    optimizer = build_optimizer(cfg, steps_per_epoch)
     state = init_train_state(jax.random.key(cfg.seed), cfg, model_init,
                              optimizer)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(state.params))
@@ -177,18 +206,24 @@ def train(cfg: Config, state, model_apply, optimizer, pipes, resume=False,
         if halo:
             from cartnet_tpu.parallel.halo import to_halo
             transform = lambda b: to_halo(b, ep, cfg.parallel.halo_max)
-        train_pipe = ShardedPipeline(train_pipe, dp, transform)
-        val_pipe = ShardedPipeline(val_pipe, dp, transform)
-        test_pipe = ShardedPipeline(test_pipe, dp, transform)
+        train_pipe = ShardedPipeline(train_pipe, dp, transform, ep=ep)
+        val_pipe = ShardedPipeline(val_pipe, dp, transform, ep=ep)
+        test_pipe = ShardedPipeline(test_pipe, dp, transform, ep=ep)
         logging.info("mesh: dp=%d x ep=%d over %d devices%s", dp, ep, dp * ep,
                      " (halo edge partitioning)" if halo else "")
     else:
         micro, update, evals = make_steps(cfg, model_apply, optimizer)
     chunk_fn = None
-    if cfg.optim.fused_steps > 1 and dp * ep <= 1:
-        from cartnet_tpu.train.loop import make_fused_chunk
-        chunk_fn = make_fused_chunk(cfg, model_apply, optimizer,
-                                    cfg.optim.fused_steps)
+    if cfg.optim.fused_steps > 1:
+        if dp * ep > 1:
+            from cartnet_tpu.parallel.step import make_parallel_fused_chunk
+            chunk_fn = make_parallel_fused_chunk(
+                cfg, model_apply, optimizer, cfg.optim.fused_steps, mesh,
+                halo=halo)
+        else:
+            from cartnet_tpu.train.loop import make_fused_chunk
+            chunk_fn = make_fused_chunk(cfg, model_apply, optimizer,
+                                        cfg.optim.fused_steps)
         logging.info("fused epochs: %d micro-steps per device launch",
                      cfg.optim.fused_steps)
     lr_fn = build_lr_fn(cfg, len(train_pipe))
@@ -212,7 +247,8 @@ def train(cfg: Config, state, model_apply, optimizer, pipes, resume=False,
             from cartnet_tpu.train.loop import train_epoch_fused
             return train_epoch_fused(state, train_pipe, chunk_fn,
                                      cfg.optim.fused_steps, update,
-                                     loggers[0], lr_fn)
+                                     loggers[0], lr_fn,
+                                     cfg.optim.batch_accumulation)
         return train_epoch(state, train_pipe, micro, update,
                            cfg.optim.batch_accumulation, loggers[0], lr_fn)
 
@@ -223,7 +259,9 @@ def train(cfg: Config, state, model_apply, optimizer, pipes, resume=False,
     hb.start()
     hb.beat(status="startup", epoch=start_epoch, name=cfg.name)
     monitor = (GuardMonitor(cfg.guard.max_bad_fraction,
-                            cfg.guard.max_retries)
+                            cfg.guard.max_retries,
+                            initial_bad_steps=int(
+                                jax.device_get(state.bad_steps)))
                if cfg.guard.enabled else None)
     state0 = jax.device_get(state)  # pre-donation host copy for epoch-0 rollback
 
@@ -300,27 +338,65 @@ def train(cfg: Config, state, model_apply, optimizer, pipes, resume=False,
     return state, test_stats
 
 
+def _per_structure_rows(batch, pred, mask):
+    """Split a padded batch into reference-style per-structure entries.
+
+    The reference inference sweep runs batch_size=1 and appends one list
+    entry PER STRUCTURE (main.py:38-50: pred/true/cell/temp/pos/atoms of the
+    non-H atoms). We evaluate batched but emit the same per-structure
+    granularity by slicing on graph_id."""
+    m = np.asarray(mask)
+    gid = np.asarray(batch.graph_id)
+    gmask = np.asarray(batch.graph_mask)
+    pred = np.asarray(pred)
+    y = np.asarray(batch.y)
+    z = np.asarray(batch.z)
+    pos = np.asarray(batch.pos)
+    cell = np.asarray(batch.cell)
+    temp = np.asarray(batch.temperature)
+    for g in np.flatnonzero(gmask):
+        sel = m & (gid == g)
+        yield {"pred": pred[sel], "true": y[sel], "cell": cell[g],
+               "temp": float(temp[g]), "pos": pos[sel], "atoms": z[sel]}
+
+
 def inference(cfg: Config, state, model_apply, test_pipe, output_path: str):
-    """Per-structure test sweep with ADP metrics (main.py:21-60)."""
-    import jax
+    """Per-structure test sweep with ADP metrics (main.py:21-60).
+
+    Output layout matches the reference: every key is a list with one entry
+    per structure; iou/similarity_index entries are per-atom arrays and the
+    final log lines aggregate their concatenation (main.py:53-59)."""
     from cartnet_tpu.train.loop import make_steps
     from cartnet_tpu.train.metrics import (compute_3d_iou,
                                            get_similarity_index)
     _, _, evals = make_steps(cfg, model_apply, build_noop_optimizer())
-    out = {"pred": [], "true": [], "iou": [], "mae": [], "similarity_index": []}
+    out = {"pred": [], "true": [], "temp": [], "cell": [], "refcode": [],
+           "pos": [], "atoms": [], "iou": [], "mae": [],
+           "similarity_index": []}
+    idx = 0
     for batch in test_pipe:
         pred, mask, _ = evals(state.params, state.bn_state, batch)
-        m = np.asarray(mask)
-        p = np.asarray(pred)[m]
-        t = np.asarray(batch.y)[m]
-        out["pred"].append(p)
-        out["true"].append(t)
-        out["mae"].append(np.abs(p - t).reshape(len(p), -1).mean(-1))
-        out["iou"].append(np.asarray(compute_3d_iou(p, t)))
-        out["similarity_index"].append(np.asarray(get_similarity_index(p, t)))
-    for k in ("iou", "mae", "similarity_index"):
-        v = np.concatenate(out[k])
+        for row in _per_structure_rows(batch, pred, mask):
+            p, t = row["pred"], row["true"]
+            out["pred"].append(p)
+            out["true"].append(t)
+            out["cell"].append(row["cell"])
+            out["temp"].append(row["temp"])
+            out["pos"].append(row["pos"])
+            out["atoms"].append(row["atoms"])
+            # no CSD refcodes in the canonical schema; keep the key with a
+            # stable per-structure index so downstream consumers can join
+            out["refcode"].append(idx)
+            out["mae"].append(float(np.abs(p - t).mean()))
+            out["iou"].append(np.asarray(compute_3d_iou(p, t)))
+            out["similarity_index"].append(
+                np.asarray(get_similarity_index(p, t)))
+            idx += 1
+    for k in ("iou", "similarity_index"):
+        v = np.concatenate(out[k]) if out[k] else np.zeros(0)
         logging.info("Mean %s: %s +/- %s", k, v.mean(), v.std())
+    mae = np.asarray(out["mae"])
+    logging.info("Mean mae: %s +/- %s", mae.mean(), mae.std())
     with open(output_path, "wb") as f:
         pickle.dump(out, f)
     return out
@@ -329,35 +405,64 @@ def inference(cfg: Config, state, model_apply, test_pipe, output_path: str):
 def montecarlo(cfg: Config, state, model_apply, test_pipe, output_path: str,
                iterations: int = 100):
     """SO(3) robustness audit (main.py:62-119): prediction on unrotated input
-    is pseudo-truth; rotating cart_dir by R must track RᵀUR."""
+    is pseudo-truth; rotating cart_dir by R must track RᵀUR.
+
+    Layout parity with the reference: each iteration writes a
+    ``*_montecarlo_<i>.pkl`` with per-structure lists and logs that
+    iteration's means over the concatenated per-atom metrics; the final
+    stats aggregate ALL iterations' per-atom metrics (main.py:104-119)."""
     import jax
-    import jax.numpy as jnp
     from cartnet_tpu.ops.rotations import random_rotation
     from cartnet_tpu.train.loop import make_steps
     from cartnet_tpu.train.metrics import (compute_3d_iou,
                                            get_similarity_index)
     _, _, evals = make_steps(cfg, model_apply, build_noop_optimizer())
-    ious, maes, sims = [], [], []
+    all_iou, all_mae, all_sim = [], [], []
     key = jax.random.key(cfg.seed)
     for it in range(iterations):
         key, sub = jax.random.split(key)
         R = random_rotation(sub)
+        Rn = np.asarray(R)
+        out = {"pred": [], "true": [], "cell": [], "refcode": [], "pos": [],
+               "atoms": [], "mae": [], "iou": [], "similarity_index": []}
+        idx = 0
         for batch in test_pipe:
             pseudo, mask, _ = evals(state.params, state.bn_state, batch)
             rot = batch.replace(cart_dir=batch.cart_dir @ R)
             pred, _, _ = evals(state.params, state.bn_state, rot)
-            m = np.asarray(mask)
-            Rn = np.asarray(R)
-            target = np.einsum("ji,njk,kl->nil", Rn, np.asarray(pseudo)[m], Rn)
-            p = np.asarray(pred)[m]
-            maes.append(np.abs(p - target).mean())
-            ious.append(np.asarray(compute_3d_iou(p, target)).mean())
-            sims.append(np.asarray(get_similarity_index(p, target)).mean())
+            target_b = batch.replace(y=np.einsum(
+                "ji,njk,kl->nil", Rn, np.asarray(pseudo), Rn))
+            for row in _per_structure_rows(target_b, pred, mask):
+                p, t = row["pred"], row["true"]
+                out["pred"].append(p)
+                out["true"].append(t)
+                out["cell"].append(row["cell"])
+                out["pos"].append(row["pos"])
+                out["atoms"].append(row["atoms"])
+                out["refcode"].append(idx)
+                out["mae"].append(float(np.abs(p - t).mean()))
+                out["iou"].append(np.asarray(compute_3d_iou(p, t)))
+                out["similarity_index"].append(
+                    np.asarray(get_similarity_index(p, t)))
+                idx += 1
+        base = (output_path[:-4] if output_path.endswith(".pkl")
+                else output_path)
+        with open(f"{base}_montecarlo_{it}.pkl", "wb") as f:
+            pickle.dump(out, f)
+        iou_i = np.concatenate(out["iou"])
+        sim_i = np.concatenate(out["similarity_index"])
+        mae_i = np.asarray(out["mae"])
         logging.info("Montecarlo %d: IoU %.4f MAE %.6f S12 %.4f", it,
-                     ious[-1], maes[-1], sims[-1])
-    stats = {"iou": (np.mean(ious), np.std(ious)),
-             "mae": (np.mean(maes), np.std(maes)),
-             "similarity_index": (np.mean(sims), np.std(sims))}
+                     iou_i.mean(), mae_i.mean(), sim_i.mean())
+        all_iou.append(iou_i)
+        all_mae.append(mae_i)
+        all_sim.append(sim_i)
+    iou = np.concatenate(all_iou)
+    mae = np.concatenate(all_mae)
+    sim = np.concatenate(all_sim)
+    stats = {"iou": (iou.mean(), iou.std()),
+             "mae": (mae.mean(), mae.std()),
+             "similarity_index": (sim.mean(), sim.std())}
     logging.info("Montecarlo: %s", stats)
     with open(output_path, "wb") as f:
         pickle.dump(stats, f)

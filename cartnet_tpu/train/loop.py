@@ -162,7 +162,8 @@ def train_epoch(state: TrainState, batches: Iterable[CrystalBatch], micro_step,
                   if lr_fn is not None else 0.0)
             logger.update(stats, weight=target_weight(batch),
                           lr=lr,
-                          edges=float(np.sum(np.asarray(batch.edge_mask))))
+                          edges=float(np.sum(np.asarray(batch.edge_mask))),
+                          fused=batch.edge_fuse_ok and batch.pallas_seg_ok)
     if micro_count % batch_accumulation != 0:  # epoch-end flush (train/train.py:186)
         state = update_step(state)
     jax.block_until_ready(state.params)
@@ -198,13 +199,14 @@ def eval_epoch(state: TrainState, batches: Iterable[CrystalBatch], eval_step,
         if logger is not None:
             pending.append((stats, target_weight(batch),
                             pred, mask, batch.y,
-                            float(np.sum(np.asarray(batch.edge_mask)))))
+                            float(np.sum(np.asarray(batch.edge_mask))),
+                            batch.edge_fuse_ok and batch.pallas_seg_ok))
         if collect:
             preds.append((pred, mask, batch))
-    for stats, w, pred, mask, y, edges in pending:
+    for stats, w, pred, mask, y, edges, fused in pending:
         m = np.asarray(mask)
         logger.update(stats, weight=w, true=np.asarray(y)[m],
-                      pred=np.asarray(pred)[m], edges=edges)
+                      pred=np.asarray(pred)[m], edges=edges, fused=fused)
     if logger is not None:
         logger.note_time(time.time() - t0)
     return preds
@@ -247,7 +249,10 @@ def make_fused_chunk(cfg: Config, model_apply, optimizer, num_steps: int):
             bad = valid & ~ok   # dummy tail pads are not failures
             valid = valid & ok
         v = valid.astype(jnp.float32)
-        grads = jax.tree.map(lambda g: g * v, grads)
+        # where, not multiply: non-finite grads * 0.0 would write NaN into
+        # the accumulator (see train/guard.py::guard_contribution)
+        grads = jax.tree.map(
+            lambda g: jnp.where(valid, g, jnp.zeros_like(g)), grads)
         new_bn = jax.tree.map(lambda a, b: jnp.where(valid, a, b),
                               new_bn, state.bn_state)
         acc = jax.tree.map(jnp.add, state.grad_accum, grads)
@@ -269,13 +274,19 @@ def make_fused_chunk(cfg: Config, model_apply, optimizer, num_steps: int):
 
 
 def train_epoch_fused(state: TrainState, batches, chunk_fn, chunk_size: int,
-                      update_step, logger=None, lr_fn=None):
+                      update_step, logger=None, lr_fn=None,
+                      batch_accumulation: int = 1):
     """Epoch driver for make_fused_chunk: stacks ``chunk_size`` host batches
     per device launch; ragged tails are padded with fully-masked dummies.
     ``update_step`` applies the epoch-end flush of a partial accumulation
-    cycle (train/train.py:186)."""
+    cycle (train/train.py:186). ``batch_accumulation`` mirrors the chunk's
+    optimizer cadence so the host can stamp each micro-batch with its true
+    per-step LR (the device advances one optimizer step per
+    ``batch_accumulation`` VALID micro-batches)."""
     import numpy as np
     t_epoch = time.time()
+    # one sync before dispatch: the base optimizer step for LR stamping
+    step0 = int(jax.device_get(state.step))
     pending = []
     weights, edges = [], []
     group: list = []
@@ -292,6 +303,7 @@ def train_epoch_fused(state: TrainState, batches, chunk_fn, chunk_size: int,
         state, stats = chunk_fn(state, stacked)
         pending.append((stats, kreal))
 
+    fused_flags = []
     for batch in batches:
         if group and (batch.z.shape != group[0].z.shape
                       or batch.edge_src.shape != group[0].edge_src.shape):
@@ -301,6 +313,7 @@ def train_epoch_fused(state: TrainState, batches, chunk_fn, chunk_size: int,
         group.append(batch)
         weights.append(target_weight(batch))
         edges.append(float(np.sum(np.asarray(batch.edge_mask))))
+        fused_flags.append(batch.edge_fuse_ok and batch.pallas_seg_ok)
         if len(group) == chunk_size:
             flush_chunk(group)
             group = []
@@ -310,16 +323,22 @@ def train_epoch_fused(state: TrainState, batches, chunk_fn, chunk_size: int,
     if int(jax.device_get(state.accum_count)) > 0:
         state = update_step(state)
     if logger is not None:
-        base_step = None
         i = 0
+        valid_seen = 0
         for stats, kreal in pending:
             host = {k: np.asarray(v) for k, v in stats.items()}
-            if base_step is None:
-                base_step = int(jax.device_get(state.step))
             for j in range(kreal):
                 row = {k: float(host[k][j]) for k in ("loss", "MAE", "MSE")}
-                lr = float(lr_fn(base_step)) if lr_fn else 0.0
-                logger.update(row, weight=weights[i], lr=lr, edges=edges[i])
+                # per-step LR curve, exactly like the unfused path: the
+                # optimizer has stepped floor(valid_so_far / accum) times
+                # after this micro-batch ("valid" excludes guarded-bad and
+                # dummy batches, matching the device-side cadence)
+                valid_seen += int(host.get("valid", np.ones(chunk_size))[j])
+                lr = (float(lr_fn(step0 + valid_seen
+                                  // max(batch_accumulation, 1)))
+                      if lr_fn else 0.0)
+                logger.update(row, weight=weights[i], lr=lr, edges=edges[i],
+                              fused=fused_flags[i])
                 i += 1
         logger.note_time(time.time() - t_epoch)
     return state

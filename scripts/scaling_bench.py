@@ -117,7 +117,7 @@ def main():
                 slices_t = slices
                 comms = (int(2 * (ep - 1) / ep * n_per_slice * dim * 4)
                          if ep > 1 else 0)
-            stacked = stack_for_shards(slices_t)
+            stacked = stack_for_shards(slices_t, ep=ep)
             opt = build_optimizer(cfg, 100)
             st = init_train_state(jax.random.key(0), cfg, cartnet_init, opt)
             pm, pu, _ = make_parallel_steps(cfg, cartnet_apply, opt, mesh,

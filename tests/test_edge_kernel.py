@@ -27,7 +27,7 @@ def setup():
     dst = np.asarray(batch.edge_dst)
     src = np.asarray(batch.edge_src)
     mask = np.asarray(batch.edge_mask)
-    ok, dst_lo, src_lo = edge_windows_ok(dst, src, mask, N)
+    ok, dst_lo, src_lo, src_nblk = edge_windows_ok(dst, src, mask, N)
     assert ok, "synthetic batch must satisfy the band condition"
     key = jax.random.key(0)
     ks = jax.random.split(key, 10)
@@ -39,7 +39,7 @@ def setup():
         w1a=mk(ks[7], D, D), b1a=mk(ks[8], D))
     return (args, jnp.asarray(dst.astype(np.int32)),
             jnp.asarray(src.astype(np.int32)), jnp.asarray(dst_lo),
-            jnp.asarray(src_lo), jnp.asarray(mask))
+            jnp.asarray(src_lo), jnp.asarray(src_nblk), jnp.asarray(mask))
 
 
 def _ref(a, dst, src):
@@ -52,11 +52,12 @@ def _ref(a, dst, src):
 
 
 def test_forward_matches_reference(setup):
-    a, dst, src, dst_lo, src_lo, mask = setup
+    a, dst, src, dst_lo, src_lo, src_nblk, mask = setup
+    assert int(np.asarray(src_nblk).max()) >= 1  # block plan is real
     gate_k, sender_k, e_res = edge_phase(
         a["xi"], a["xj"], a["e"], a["we"], a["b"],
         a["w1g"], a["b1g"], a["w1a"], a["b1a"],
-        dst, src, dst_lo, src_lo, True)
+        dst, src, dst_lo, src_lo, src_nblk, True)
     gate_r, sender_r = _ref(a, dst, src)
     m = np.asarray(mask)
     np.testing.assert_array_equal(np.asarray(e_res), np.asarray(a["e"]))
@@ -67,7 +68,7 @@ def test_forward_matches_reference(setup):
 
 
 def test_custom_vjp_matches_reference_grads(setup):
-    a, dst, src, dst_lo, src_lo, mask = setup
+    a, dst, src, dst_lo, src_lo, src_nblk, mask = setup
     E = a["e"].shape[0]
     key = jax.random.key(7)
     cg = jax.random.normal(key, (E, D)) * mask[:, None]
@@ -79,7 +80,7 @@ def test_custom_vjp_matches_reference_grads(setup):
         aa = dict(zip(names, vals))
         g, s, er = edge_phase(aa["xi"], aa["xj"], aa["e"], aa["we"], aa["b"],
                               aa["w1g"], aa["b1g"], aa["w1a"], aa["b1a"],
-                              dst, src, dst_lo, src_lo, True)
+                              dst, src, dst_lo, src_lo, src_nblk, True)
         # the e_res cotangent exercises the fused de accumulation in the bwd
         # kernel (residual add folded into de)
         return jnp.sum(g * cg) + jnp.sum(s * cs) + jnp.sum(er * ce)
@@ -110,7 +111,7 @@ def test_windows_ok_rejects_wide_spans():
     dst.sort()
     src = np.zeros(e, np.int64)
     mask = np.ones(e, bool)
-    ok, _, _ = edge_windows_ok(dst, src, mask, C_DST * 3)
+    ok, _, _, _ = edge_windows_ok(dst, src, mask, C_DST * 3)
     assert not ok
 
 

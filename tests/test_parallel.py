@@ -37,7 +37,7 @@ def _data(cholesky, seed=0):
     recs = synthetic_dataset(DP * G_PER, mean_atoms=10, adp=cholesky, seed=seed)
     shards = [collate(recs[i * G_PER:(i + 1) * G_PER], N_PER, E_PER, G_PER)
               for i in range(DP)]
-    stacked = stack_for_shards(shards)
+    stacked = stack_for_shards(shards, ep=EP)
     merged = collate(recs, DP * N_PER, DP * E_PER, DP * G_PER)
     return stacked, merged
 
