@@ -42,7 +42,8 @@ def main():
     # pipeline achieves on real datasets: data/pipeline.py buckets>1), not
     # the whole-dataset worst case — same static shapes, ~96% fill vs ~76%
     groups = [recs[i * graphs:(i + 1) * graphs] for i in range(2)]
-    align = 512  # window-align graph edge segments (data/batching.collate)
+    import os
+    align = int(os.environ.get("CARTNET_T_EDGES", "512"))  # window alignment
     rnd = lambda v, m: -(-v // m) * m
     need_n = max(sum(len(r["z"]) for r in g) for g in groups)
     need_e = max(sum(rnd(len(r["edge_src"]), align) for r in g)

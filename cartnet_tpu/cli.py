@@ -72,8 +72,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fuse K micro-steps per device launch (lax.scan); "
                         "kills per-step dispatch latency on remote runtimes")
     p.add_argument("--buckets", type=int, default=1,
-                   help="size-quantile buckets with per-bucket pad shapes "
-                        "(dp=1 only); bounds pad waste from size tails")
+                   help="size-quantile buckets with per-bucket pad shapes; "
+                        "bounds pad waste from size tails")
+    p.add_argument("--chunks", type=int, default=1,
+                   help="chunked single-device execution: vmap the kernels "
+                        "over K member-major batch chunks (bounded VMEM for "
+                        "large batches, e.g. jarvis batch 64)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (the container sitecustomize "
                         "pins jax_platforms to the axon TPU tunnel)")
@@ -127,7 +131,8 @@ def args_to_config(args) -> Config:
         augment=augment, use_hydrogens=args.use_H,
         standarize_temp=args.standarize_temp,
         optimize_cell=(model_name == "icomformer"),
-        buckets=getattr(args, "buckets", 1))
+        buckets=getattr(args, "buckets", 1),
+        chunks=getattr(args, "chunks", 1))
     optim = OptimConfig(
         lr=args.lr, max_epoch=args.epochs, warmup=args.warmup,
         batch_accumulation=args.batch_accumulation, loss=args.loss,

@@ -62,8 +62,13 @@ class DataConfig:
     max_graphs: int = 64  # = batch_size (one pad graph slot is added on top)
     # size-quantile bucketing: each bucket gets its own pad shapes (one XLA
     # compilation per bucket) — bounds pad waste from heavy size tails.
-    # Only for dp=1 runs (dp super-batches must share shapes).
+    # Bucket boundaries never share a dp super-batch (runner.ShardedPipeline).
     buckets: int = 1
+    # chunked single-device execution (parallel/chunk.py): re-lay each batch
+    # into K member-major chunks and vmap the kernels over them — bounds the
+    # window kernels' VMEM at any batch size (the batch-64 jarvis/megnet
+    # configs). 1 = off.
+    chunks: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

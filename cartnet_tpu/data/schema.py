@@ -66,6 +66,10 @@ class CrystalBatch:
     edge_dst_lo: Optional[jnp.ndarray] = None     # [E/T] int32
     edge_src_lo: Optional[jnp.ndarray] = None     # [E/T] int32
     edge_fuse_ok: bool = flax.struct.field(pytree_node=False, default=False)
+    # static: True when the halo exchange carries ZERO rows (graph-snapped
+    # cuts) — the layers then skip the gather+all_to_all entirely and use a
+    # zeros recv block (parallel/halo.py plans this at re-layout time)
+    halo_empty: bool = flax.struct.field(pytree_node=False, default=False)
     # per-window count of 128-row src blocks actually spanned (1..C_SRC/128);
     # the fused kernel skips the unused block matmuls per window (pl.when) —
     # the src one-hot is its dominant FLOP term. Zeros when edge_fuse_ok

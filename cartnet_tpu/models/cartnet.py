@@ -92,6 +92,37 @@ def encoder_apply(p, batch: CrystalBatch, cfg: ModelConfig):
 _FORCE_SIGMA_INTERPRET = False
 
 
+def kernels_active(batch: CrystalBatch, dim: int, itemsize: int = 2) -> bool:
+    """Host-side mirror of the layer kernel gates, for observability: True
+    when THIS batch will actually run the fused Pallas paths (plan flags AND
+    the runtime shape/VMEM gates — a big batch can silently fall back even
+    with valid plans, which is exactly what fused_fraction must expose)."""
+    if not (batch.edge_fuse_ok and batch.pallas_seg_ok):
+        return False
+    if dim <= 0:
+        return True  # width unknown (logger not configured): flags only
+    from cartnet_tpu.ops.pallas.edge_kernels import edge_fuse_shapes_ok
+    from cartnet_tpu.ops.pallas.segment_kernels import pallas_shapes_ok
+    n_src = None
+    if getattr(batch.z, "ndim", 1) == 2:       # chunked [K, n_per]
+        n = batch.z.shape[1]
+        e = batch.edge_src.shape[1]
+        if batch.halo_send_idx is not None:
+            n_src = n + (batch.halo_send_idx.shape[-2]
+                         * batch.halo_send_idx.shape[-1])
+    elif batch.halo_send_idx is not None:      # flat halo (member-major)
+        members = batch.halo_send_idx.shape[0]
+        n = batch.z.shape[0] // max(members, 1)
+        e = batch.edge_src.shape[0] // max(members, 1)
+        n_src = n + (batch.halo_send_idx.shape[-2]
+                     * batch.halo_send_idx.shape[-1])
+    else:
+        n, e = batch.num_nodes, batch.num_edges
+    return bool(edge_fuse_shapes_ok(e, n, dim, itemsize,
+                                    num_src_nodes=n_src)
+                and pallas_shapes_ok(e, dim, n))
+
+
 def layer_init(key, cfg: ModelConfig):
     d, dtype = cfg.dim_in, cfg.param_dtype
     k1, k2 = jax.random.split(key)
@@ -134,9 +165,18 @@ def _dual_edge_mlp(p, x, e, batch: CrystalBatch,
         # projections + interior gathers (SURVEY §7.7 overlap north star)
         send_idx = batch.halo_send_idx.reshape(
             batch.halo_send_idx.shape[-2:])  # [ep, H] member block
-        send = x[send_idx]  # [ep, H, d] rows destined for each member
-        recv = jax.lax.all_to_all(send, ep_axis, split_axis=0, concat_axis=0)
-        recv_rows = recv.reshape(-1, x.shape[-1])
+        if batch.halo_empty:
+            # graph-snapped cuts: zero-comms layout — no gather, no
+            # collective; src ids never reference the recv block, which only
+            # exists to keep the table shape the plans were built against
+            recv_rows = jnp.zeros(
+                (send_idx.shape[0] * send_idx.shape[1], x.shape[-1]),
+                x.dtype)
+        else:
+            send = x[send_idx]  # [ep, H, d] rows destined for each member
+            recv = jax.lax.all_to_all(send, ep_axis, split_axis=0,
+                                      concat_axis=0)
+            recv_rows = recv.reshape(-1, x.shape[-1])
         n_per = x.shape[0]
         # dst is member-local (< n_per): project only the local rows for xi
         xi = jnp.dot(x, wi, preferred_element_type=x.dtype)

@@ -38,7 +38,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from cartnet_tpu.ops.pallas.vma import psum_to, pvary_to, vma_union
 
-T_EDGES = 512   # edges per window (must divide E)
+import os as _os
+
+T_EDGES = int(_os.environ.get("CARTNET_T_EDGES", "512"))  # edges per window
 C_DST = 128     # dst row band per window
 # src row band per window: covers ONE crystal's node range when collate
 # aligns each graph's edge segment to T_EDGES (edge_align), so windows never

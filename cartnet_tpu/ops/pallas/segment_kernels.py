@@ -29,7 +29,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from cartnet_tpu.ops.pallas.vma import psum_to, pvary_to, vma_union
 
-T_EDGES = 512   # edges per window (grid step)
+import os as _os
+
+T_EDGES = int(_os.environ.get("CARTNET_T_EDGES", "512"))  # edges per window
 C_WINDOW = 256  # node-row band per window
 
 

@@ -35,20 +35,70 @@ class HaloInfeasible(ValueError):
 
 def _partition_nodes(node_mask: np.ndarray, graph_id: np.ndarray,
                      edge_dst: np.ndarray, edge_mask: np.ndarray,
-                     ep: int, n_per: int, e_per: int) -> np.ndarray:
+                     ep: int, n_per: int, e_per: int,
+                     cum_edges: Optional[np.ndarray] = None) -> np.ndarray:
     """Contiguous node-range bounds [ep+1] balancing in-edges under caps.
 
-    Greedy sweep targeting ~equal edges/member; each boundary snaps back to
-    the nearest graph start when one exists inside the member's range (free
-    zero-halo cuts), else splits mid-graph (paid for via halo exchange).
+    Strategy: try an ALL-SNAPPED partition first (every cut at a graph
+    start — zero halo), using a right-to-left suffix-feasibility table so a
+    member never takes so many graphs that the remainder cannot fit. Only
+    when no snapped partition exists fall back to the greedy mid-graph
+    splitter (paid for via halo exchange).
+
+    ``cum_edges``: edges-into-[0, i) at the member-edge accounting the
+    caller uses (to_halo passes ALL dst-in-range edges incl. alignment
+    pads, so capacity checks match the slices actually taken).
     """
     n = len(node_mask)
     nr = int(node_mask.sum())
-    indeg = np.bincount(edge_dst[edge_mask], minlength=n)
-    cum_edges = np.concatenate([[0], np.cumsum(indeg)])  # edges into [0, i)
+    if cum_edges is None:
+        indeg = np.bincount(edge_dst[edge_mask], minlength=n)
+        cum_edges = np.concatenate([[0], np.cumsum(indeg)])
     er = int(cum_edges[nr])
     graph_starts = np.flatnonzero(np.diff(
         np.concatenate([[-1], graph_id[:nr]])) != 0)
+
+    def fits(lo, hi):
+        return (hi - lo <= n_per
+                and cum_edges[hi] - cum_edges[lo] <= e_per)
+
+    # --- all-snapped attempt -------------------------------------------
+    # suffix_members[j] = min members to hold graphs starting at node
+    # boundary gs[j] .. nr with greedy max packing from the left
+    gs = np.concatenate([graph_starts, [nr]])
+    ng = len(gs) - 1
+    suffix = np.full(ng + 1, 10 ** 9, np.int64)
+    suffix[ng] = 0
+    for j in range(ng - 1, -1, -1):
+        # largest j2 > j with graphs [j, j2) fitting one member
+        j2 = j
+        while j2 + 1 <= ng and fits(gs[j], gs[j2 + 1]):
+            j2 += 1
+        if j2 > j and suffix[j2] < 10 ** 9:
+            suffix[j] = suffix[j2] + 1
+        # also allow taking fewer graphs if that unlocks a feasible suffix
+        for jt in range(j2, j, -1):
+            if suffix[jt] + 1 < suffix[j]:
+                suffix[j] = suffix[jt] + 1
+    if suffix[0] <= ep:
+        bounds = [0]
+        j = 0
+        for m in range(ep - 1):
+            left = ep - m - 1
+            # take as many whole graphs as possible while the suffix still
+            # fits the remaining members
+            j2 = j
+            while (j2 + 1 <= ng and fits(gs[j], gs[j2 + 1])
+                   and suffix[j2 + 1] <= left):
+                j2 += 1
+            bounds.append(int(gs[j2]))
+            j = j2
+        bounds.append(nr)
+        bounds = np.asarray(bounds, np.int64)
+        if all(fits(bounds[m], bounds[m + 1]) for m in range(ep)):
+            return bounds
+
+    # --- greedy mid-graph fallback -------------------------------------
     bounds = [0]
     for m in range(ep - 1):
         lo = bounds[-1]
@@ -111,8 +161,17 @@ def to_halo(batch: CrystalBatch, ep: int,
     dst = np.asarray(batch.edge_dst).astype(np.int64)
     src = np.asarray(batch.edge_src).astype(np.int64)
     graph_id = np.asarray(batch.graph_id)
+    # member capacity must count ALL edges whose dst falls in range — the
+    # slices below keep interior (graph-alignment) pad edges so member
+    # windows stay graph-aligned and the fused kernel plans survive. Tail
+    # pads (everything after the last real edge) are excluded from the
+    # accounting; members re-pad their own tails.
+    real_pos = np.flatnonzero(edge_mask)
+    e_end = int(real_pos.max()) + 1 if len(real_pos) else 0
+    cum_all = np.searchsorted(dst[:e_end], np.arange(len(node_mask) + 1),
+                              "left")
     bounds = _partition_nodes(node_mask, graph_id, dst, edge_mask, ep,
-                              n_per, e_per)
+                              n_per, e_per, cum_edges=cum_all)
 
     adp = np.ndim(batch.y) == 3
     nz = lambda shape, dt: np.zeros(shape, dt)
@@ -145,27 +204,39 @@ def to_halo(batch: CrystalBatch, ep: int,
         if adp:
             out_y[nsl] = np.asarray(batch.y)[lo:hi]
 
-        esel = np.flatnonzero(edge_mask & (dst >= lo) & (dst < hi))
+        # contiguous dst-range slice of the globally dst-sorted edge list —
+        # ALL edges incl. interior alignment pads, preserving graph-aligned
+        # windows inside the member (critical for the fused kernel plans)
+        e0, e1 = int(cum_all[lo]), int(cum_all[hi])
+        esel = np.arange(e0, e1)
         le = len(esel)
+        if le > e_per:
+            raise HaloInfeasible(
+                f"member {m}: {le} edges (cap {e_per}) — raise max_edges")
+        emask_m = edge_mask[esel]
         esl = slice(m * e_per, m * e_per + le)
         # local dst ids; preserved dst-sorted order stays ascending
         out_dst[esl] = (dst[esel] - lo).astype(np.int32)
         out_dist[esl] = np.asarray(batch.cart_dist)[esel]
         out_dir[esl] = np.asarray(batch.cart_dir)[esel]
-        out_emask[esl] = True
-        # pad edges of this member point at its last local row (monotone)
+        out_emask[esl] = emask_m
+        # tail pad edges of this member point at its last local row (monotone)
         pad_sl = slice(m * e_per + le, (m + 1) * e_per)
         out_dst[pad_sl] = max(n_per - 1, 0)
         out_src[pad_sl] = 0
 
-        # src remap: local rows, or halo slots per owner
+        # src remap: local rows, or halo slots per owner. Only REAL edges
+        # allocate halo slots; pad edges (alignment/tail) point at their own
+        # dst row — in-range, masked downstream.
         e_src = src[esel]
         e_owner = owner_of[e_src]
         src_ids = np.empty(le, np.int32)
-        local = e_owner == m
+        src_ids[~emask_m] = (dst[esel][~emask_m] - lo).astype(np.int32)
+        local = (e_owner == m) & emask_m
         src_ids[local] = (e_src[local] - lo).astype(np.int32)
-        for o in np.unique(e_owner[~local]):
-            sel = e_owner == o
+        remote = (~local) & emask_m
+        for o in np.unique(e_owner[remote]):
+            sel = (e_owner == o) & remote
             rows = np.unique(e_src[sel])  # global rows owned by o
             if len(rows) > h_max:
                 raise HaloInfeasible(
@@ -220,6 +291,7 @@ def to_halo(batch: CrystalBatch, ep: int,
         edge_dst_lo=dst_lo, edge_src_lo=src_lo, edge_src_nblk=src_nblk,
         edge_fuse_ok=bool(fuse_ok),
         edge_src_sorted=None,
+        halo_empty=bool(send_mask.sum() == 0),
         halo_send_idx=send_idx, halo_send_mask=send_mask)
 
 

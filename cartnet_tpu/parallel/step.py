@@ -69,7 +69,9 @@ def stack_for_shards(batches: List[CrystalBatch],
     if ep > 1:
         batches = [b.replace(edge_src_perm=None, edge_src_sorted=None)
                    for b in batches]
-    batches = [b.replace(edge_fuse_ok=fuse, pallas_seg_ok=seg)
+    hempty = all(b.halo_empty for b in batches)
+    batches = [b.replace(edge_fuse_ok=fuse, pallas_seg_ok=seg,
+                         halo_empty=hempty)
                for b in batches]
     return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *batches)
 
@@ -90,19 +92,22 @@ def _masked_sums(pred, true, mask):
     return (jnp.sum(jnp.abs(diff)), jnp.sum(diff * diff), jnp.sum(m) * elems)
 
 
-def _build_forward_loss(cfg: Config, model_apply, halo: bool):
+def _build_forward_loss(cfg: Config, model_apply, halo: bool,
+                        axes=("dp", "ep"), ep_axis: str = "ep",
+                        node_axes=None):
     """Member-local forward + psum'd masked loss/stats (shared by the
-    per-batch micro/eval steps and the fused-scan chunk)."""
+    per-batch micro/eval steps, the fused-scan chunk, and the single-device
+    chunked vmap steps in parallel/chunk.py)."""
     node_targets = cfg.model.cholesky
-    axes = ("dp", "ep")
-    node_axes = axes if halo else ("dp",)
+    if node_axes is None:
+        node_axes = axes if halo else tuple(a for a in axes if a != ep_axis)
 
     def _forward_loss(params, bn_state, batch: CrystalBatch, training: bool):
         pred, mask, new_bn = model_apply(
             params, bn_state, batch, cfg.model, training=training,
-            ep_axis="ep", edge_stat_axes=axes, node_stat_axes=node_axes)
+            ep_axis=ep_axis, edge_stat_axes=axes, node_stat_axes=node_axes)
         lmask = (mask if halo and node_targets
-                 else _partition_mask(mask, "ep"))
+                 else _partition_mask(mask, ep_axis))
         sa, sq, cnt = _masked_sums(pred, batch.y, lmask)
         sa = jax.lax.psum(sa, axes)
         sq = jax.lax.psum(sq, axes)
@@ -177,27 +182,29 @@ def make_parallel_steps(cfg: Config, model_apply, optimizer, mesh: Mesh,
     # in_specs must match the input's treedef exactly — so the shard_map (and
     # its jit) is instantiated per flag combination (≤4 per run, typically 1)
     @functools.lru_cache(maxsize=None)
-    def _micro_for(fuse: bool, seg: bool):
-        specs = bspecs.replace(edge_fuse_ok=fuse, pallas_seg_ok=seg)
+    def _micro_for(fuse: bool, seg: bool, hempty: bool):
+        specs = bspecs.replace(edge_fuse_ok=fuse, pallas_seg_ok=seg,
+                               halo_empty=hempty)
         sm = jax.shard_map(_micro, mesh=mesh,
                           in_specs=(rep, specs), out_specs=(rep, rep))
         return jax.jit(sm, donate_argnums=0)
 
     @functools.lru_cache(maxsize=None)
-    def _eval_for(fuse: bool, seg: bool):
-        specs = bspecs.replace(edge_fuse_ok=fuse, pallas_seg_ok=seg)
+    def _eval_for(fuse: bool, seg: bool, hempty: bool):
+        specs = bspecs.replace(edge_fuse_ok=fuse, pallas_seg_ok=seg,
+                               halo_empty=hempty)
         sm = jax.shard_map(_eval, mesh=mesh,
                           in_specs=(rep, rep, specs),
                           out_specs=(pred_spec, pred_spec, rep))
         return jax.jit(sm)
 
     def micro_step(state, batch):
-        return _micro_for(batch.edge_fuse_ok, batch.pallas_seg_ok)(state,
-                                                                   batch)
+        return _micro_for(batch.edge_fuse_ok, batch.pallas_seg_ok,
+                          batch.halo_empty)(state, batch)
 
     def eval_step(params, bn_state, batch):
-        return _eval_for(batch.edge_fuse_ok, batch.pallas_seg_ok)(
-            params, bn_state, batch)
+        return _eval_for(batch.edge_fuse_ok, batch.pallas_seg_ok,
+                         batch.halo_empty)(params, bn_state, batch)
 
     @functools.partial(jax.jit, donate_argnums=0)
     def update_step(state: TrainState):
@@ -295,14 +302,15 @@ def make_parallel_fused_chunk(cfg: Config, model_apply, optimizer,
     rep = P()
 
     @functools.lru_cache(maxsize=None)
-    def _chunk_for(fuse: bool, seg: bool):
-        specs = scan_specs.replace(edge_fuse_ok=fuse, pallas_seg_ok=seg)
+    def _chunk_for(fuse: bool, seg: bool, hempty: bool):
+        specs = scan_specs.replace(edge_fuse_ok=fuse, pallas_seg_ok=seg,
+                                   halo_empty=hempty)
         sm = jax.shard_map(_chunk, mesh=mesh,
                            in_specs=(rep, specs), out_specs=(rep, rep))
         return jax.jit(sm, donate_argnums=0)
 
     def chunk(state, stacked):
-        return _chunk_for(stacked.edge_fuse_ok, stacked.pallas_seg_ok)(
-            state, stacked)
+        return _chunk_for(stacked.edge_fuse_ok, stacked.pallas_seg_ok,
+                          stacked.halo_empty)(state, stacked)
 
     return chunk

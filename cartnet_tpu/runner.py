@@ -92,6 +92,22 @@ class ShardedPipeline:
             yield self._close(group)
 
 
+class _TransformedPipe:
+    """Applies a per-batch transform lazily (chunked re-layout)."""
+
+    def __init__(self, pipe, fn):
+        self.pipe, self.fn = pipe, fn
+
+    def __len__(self):
+        return len(self.pipe)
+
+    def __iter__(self):
+        import jax
+        import jax.numpy as jnp
+        for b in self.pipe:
+            yield jax.tree.map(jnp.asarray, self.fn(b))
+
+
 def _pipelines(cfg: Config, splits):
     from cartnet_tpu.data.pipeline import (choose_pad_sizes_from_counts,
                                            edge_align_for, record_counts)
@@ -100,14 +116,23 @@ def _pipelines(cfg: Config, splits):
     nodes = np.concatenate([c[0] for c in counts])
     edges = np.concatenate([c[1] for c in counts])
     align = edge_align_for(edges)
-    # mesh-aware pad multiples: the ep edge split must hand each member whole
-    # Pallas windows; halo member node blocks must stay 8-aligned
-    ep = max(cfg.parallel.ep, 1)
+    # mesh/chunk-aware pad multiples: an ep- or chunk-split edge axis must
+    # hand each member whole Pallas windows; member node blocks stay 8-aligned
+    ep = max(cfg.parallel.ep, 1, cfg.data.chunks)
     node_mult = 128 if 128 % (8 * ep) == 0 else 128 * ep
     edge_mult = 512 * ep if ep > 1 else 512
     mn, me = choose_pad_sizes_from_counts(nodes, edges, cfg.data.batch_size,
                                           node_mult, edge_mult,
                                           edge_align=align)
+    if cfg.data.chunks > 1:
+        # chunked member blocks must PACK whole crystals (graph-snapped
+        # cuts): every member wastes up to ~half a crystal, so give the pads
+        # that slack or the partitioner has no feasible cut
+        k = cfg.data.chunks
+        mn += -(-int(k * np.mean(nodes) / 2 + node_mult) // node_mult
+                ) * node_mult
+        me += -(-int(k * np.mean(edges) / 2 + edge_mult) // edge_mult
+                ) * edge_mult
     # lazy (ADP-scale) sources stream via a fetch pool; in-memory lists don't
     # need one
     workers = 0 if isinstance(train, list) else 4
@@ -188,6 +213,8 @@ def train(cfg: Config, state, model_apply, optimizer, pipes, resume=False,
                                         train_epoch)
 
     train_pipe, val_pipe, test_pipe = pipes
+    from cartnet_tpu.train.loop import set_logged_dim
+    set_logged_dim(cfg.model.dim_in)  # fused_fraction gate mirror
     loggers = create_loggers(cfg.run_dir)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(state.params))
     for lg in loggers:
@@ -211,10 +238,23 @@ def train(cfg: Config, state, model_apply, optimizer, pipes, resume=False,
         test_pipe = ShardedPipeline(test_pipe, dp, transform, ep=ep)
         logging.info("mesh: dp=%d x ep=%d over %d devices%s", dp, ep, dp * ep,
                      " (halo edge partitioning)" if halo else "")
+    elif cfg.data.chunks > 1:
+        from cartnet_tpu.parallel.chunk import make_chunked_steps, to_chunked
+        micro, update, evals = make_chunked_steps(cfg, model_apply,
+                                                  optimizer)
+        k = cfg.data.chunks
+        tf = lambda pipe: _TransformedPipe(pipe,
+                                           lambda b: to_chunked(b, k))
+        train_pipe, val_pipe, test_pipe = map(tf, (train_pipe, val_pipe,
+                                                   test_pipe))
+        logging.info("chunked execution: %d member-major chunks per batch", k)
     else:
         micro, update, evals = make_steps(cfg, model_apply, optimizer)
     chunk_fn = None
-    if cfg.optim.fused_steps > 1:
+    if cfg.optim.fused_steps > 1 and cfg.data.chunks > 1 and dp * ep <= 1:
+        logging.warning("fused_steps with --chunks is not supported yet; "
+                        "running unfused epochs")
+    elif cfg.optim.fused_steps > 1:
         if dp * ep > 1:
             from cartnet_tpu.parallel.step import make_parallel_fused_chunk
             chunk_fn = make_parallel_fused_chunk(

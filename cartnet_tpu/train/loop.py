@@ -52,6 +52,19 @@ def _stats_with_adp(cfg: Config, base, pred, y, mask):
             "similarity_index": sim / n}
 
 
+def _logged_dim(batch) -> int:
+    """Model width for the kernel-gate mirror — cached on first use by the
+    epoch drivers (they have no cfg in scope for eval pipelines)."""
+    return _logged_dim.value
+
+
+_logged_dim.value = 0
+
+
+def set_logged_dim(dim: int):
+    _logged_dim.value = int(dim)
+
+
 def target_weight(batch: CrystalBatch) -> float:
     """Reference logger weighting: batch_size == true.shape[0] — non-H atoms
     for ADP targets, graphs for scalar targets (logger/logger.py:72-80)."""
@@ -160,10 +173,11 @@ def train_epoch(state: TrainState, batches: Iterable[CrystalBatch], micro_step,
                 opt_steps_before = int(state.step) - opt_steps
             lr = (float(lr_fn(opt_steps_before + opt_steps))
                   if lr_fn is not None else 0.0)
+            from cartnet_tpu.models.cartnet import kernels_active
             logger.update(stats, weight=target_weight(batch),
                           lr=lr,
                           edges=float(np.sum(np.asarray(batch.edge_mask))),
-                          fused=batch.edge_fuse_ok and batch.pallas_seg_ok)
+                          fused=kernels_active(batch, _logged_dim(batch)))
     if micro_count % batch_accumulation != 0:  # epoch-end flush (train/train.py:186)
         state = update_step(state)
     jax.block_until_ready(state.params)
@@ -197,10 +211,11 @@ def eval_epoch(state: TrainState, batches: Iterable[CrystalBatch], eval_step,
         if iou_fn is not None:
             stats = {**stats, "iou": iou_fn(pred, batch.y, mask)}
         if logger is not None:
+            from cartnet_tpu.models.cartnet import kernels_active
             pending.append((stats, target_weight(batch),
                             pred, mask, batch.y,
                             float(np.sum(np.asarray(batch.edge_mask))),
-                            batch.edge_fuse_ok and batch.pallas_seg_ok))
+                            kernels_active(batch, _logged_dim(batch))))
         if collect:
             preds.append((pred, mask, batch))
     for stats, w, pred, mask, y, edges, fused in pending:
@@ -313,7 +328,8 @@ def train_epoch_fused(state: TrainState, batches, chunk_fn, chunk_size: int,
         group.append(batch)
         weights.append(target_weight(batch))
         edges.append(float(np.sum(np.asarray(batch.edge_mask))))
-        fused_flags.append(batch.edge_fuse_ok and batch.pallas_seg_ok)
+        from cartnet_tpu.models.cartnet import kernels_active
+        fused_flags.append(kernels_active(batch, _logged_dim(batch)))
         if len(group) == chunk_size:
             flush_chunk(group)
             group = []
