@@ -138,15 +138,17 @@ def collate(records: Sequence[dict], max_nodes: int, max_edges: int,
     # fused edge-phase kernel plan (band base rows per window); arrays are
     # always present (zeros on failure) so the pytree structure is batch-
     # independent — only the STATIC edge_fuse_ok flag gates the kernel
-    from cartnet_tpu.ops.pallas.edge_kernels import T_EDGES, edge_windows_ok
-    fuse_ok, dst_lo, src_lo, src_nblk = edge_windows_ok(edst, esrc, emask,
-                                                        max_nodes)
+    from cartnet_tpu.ops.pallas.edge_kernels import (C_SRC, T_EDGES,
+                                                      plan_edge_windows)
+    fuse_ok, dst_lo, src_lo, src_nblk, src_band = plan_edge_windows(
+        edst, esrc, emask, max_nodes)
     nt = max(max_edges // T_EDGES, 1)
     if not fuse_ok:
         _log_unfused_once(edst, esrc, emask, max_nodes)
         dst_lo = np.zeros(nt, np.int32)
         src_lo = np.zeros(nt, np.int32)
         src_nblk = np.zeros(nt, np.int32)
+        src_band = C_SRC
 
     return CrystalBatch(
         z=z, pos=pos, graph_id=graph_id, node_mask=node_mask, non_h_mask=non_h,
@@ -154,7 +156,39 @@ def collate(records: Sequence[dict], max_nodes: int, max_edges: int,
         edge_mask=emask, cell=cell, temperature=temp, graph_mask=graph_mask, y=y,
         edge_src_perm=src_perm, pallas_seg_ok=pallas_ok,
         edge_dst_lo=dst_lo, edge_src_lo=src_lo, edge_src_nblk=src_nblk,
+        src_band=int(src_band),
         edge_fuse_ok=bool(fuse_ok), edge_src_sorted=esrc[src_perm])
+
+
+def upgrade_src_band(batch, band: int):
+    """Re-clamp a batch's fused-edge plan for a WIDER src band.
+
+    Needed when batches with different per-batch bands share one traced
+    program (scan stacks, dp super-batches). Widening is always sound: the
+    new slo' = min(slo, n_src - band) only moves the band start down, so
+    every real src id stays inside [slo', slo' + band); windows whose slo
+    moved get a conservative full block count.
+    """
+    import jax.numpy as jnp
+    if batch.src_band == band:
+        return batch
+    if batch.src_band > band:
+        raise ValueError(f"cannot narrow a src band plan "
+                         f"({batch.src_band} -> {band})")
+    from cartnet_tpu.ops.pallas.edge_kernels import SRC_BLK
+    if batch.halo_send_idx is not None:
+        members = batch.halo_send_idx.shape[0]
+        n_src = (batch.z.shape[0] // max(members, 1)
+                 + batch.halo_send_idx.shape[-2]
+                 * batch.halo_send_idx.shape[-1])
+    else:
+        n_src = batch.z.shape[0]
+    slo = jnp.minimum(batch.edge_src_lo, max(n_src - band, 0))
+    moved = slo != batch.edge_src_lo
+    nblk = jnp.where(moved, band // SRC_BLK, batch.edge_src_nblk)
+    return batch.replace(edge_src_lo=slo.astype(jnp.int32),
+                         edge_src_nblk=nblk.astype(jnp.int32),
+                         src_band=int(band))
 
 
 _unfused_logged = False

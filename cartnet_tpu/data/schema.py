@@ -66,6 +66,11 @@ class CrystalBatch:
     edge_dst_lo: Optional[jnp.ndarray] = None     # [E/T] int32
     edge_src_lo: Optional[jnp.ndarray] = None     # [E/T] int32
     edge_fuse_ok: bool = flax.struct.field(pytree_node=False, default=False)
+    # static: src one-hot band width (128/256/384) the fused edge plan was
+    # built for — the kernel's dominant FLOP term scales with it, so collate
+    # picks the smallest band covering this batch's window spans
+    # (ops/pallas/edge_kernels.plan_edge_windows)
+    src_band: int = flax.struct.field(pytree_node=False, default=384)
     # static: True when the halo exchange carries ZERO rows (graph-snapped
     # cuts) — the layers then skip the gather+all_to_all entirely and use a
     # zeros recv block (parallel/halo.py plans this at re-layout time)

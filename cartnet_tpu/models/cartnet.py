@@ -119,7 +119,8 @@ def kernels_active(batch: CrystalBatch, dim: int, itemsize: int = 2) -> bool:
     else:
         n, e = batch.num_nodes, batch.num_edges
     return bool(edge_fuse_shapes_ok(e, n, dim, itemsize,
-                                    num_src_nodes=n_src)
+                                    num_src_nodes=n_src,
+                                    c_src=batch.src_band)
                 and pallas_shapes_ok(e, dim, n))
 
 
@@ -188,7 +189,8 @@ def _dual_edge_mlp(p, x, e, batch: CrystalBatch,
             n_table = n_per + recv_rows.shape[0]
             if ek.edge_fuse_shapes_ok(batch.num_edges, n_per, d,
                                       x.dtype.itemsize,
-                                      num_src_nodes=n_table):
+                                      num_src_nodes=n_table,
+                                      c_src=batch.src_band):
                 # member-local fused window kernel over the halo table
                 # (plans from parallel/halo.py::to_halo). The kernel consumes
                 # the whole table, so this path trades overlap for the much
@@ -201,7 +203,7 @@ def _dual_edge_mlp(p, x, e, batch: CrystalBatch,
                     p["mlp_aggr"]["lin1"]["w"], p["mlp_aggr"]["lin1"]["b"],
                     batch.edge_dst, batch.edge_src,
                     batch.edge_dst_lo, batch.edge_src_lo,
-                    batch.edge_src_nblk, not on_tpu())
+                    batch.edge_src_nblk, batch.src_band, not on_tpu())
         # overlap path: interior (src-local) gathers + xi/xj projections run
         # while the exchange flies; only the boundary select waits on recv
         xj_loc = jnp.dot(x, wj, preferred_element_type=x.dtype)
@@ -221,7 +223,8 @@ def _dual_edge_mlp(p, x, e, batch: CrystalBatch,
             from cartnet_tpu.ops.pallas import edge_kernels as ek
             from cartnet_tpu.ops.pallas.segment_kernels import on_tpu
             if ek.edge_fuse_shapes_ok(batch.num_edges, batch.num_nodes, d,
-                                      x.dtype.itemsize):
+                                      x.dtype.itemsize,
+                                      c_src=batch.src_band):
                 # fused window kernel: gathers + e@We + silu + both lin1
                 # GEMMs, no [E,2d] HBM round trips (PERF_NOTES.md)
                 return ek.edge_phase(
@@ -230,7 +233,7 @@ def _dual_edge_mlp(p, x, e, batch: CrystalBatch,
                     p["mlp_aggr"]["lin1"]["w"], p["mlp_aggr"]["lin1"]["b"],
                     batch.edge_dst, batch.edge_src,
                     batch.edge_dst_lo, batch.edge_src_lo,
-                    batch.edge_src_nblk, not on_tpu())
+                    batch.edge_src_nblk, batch.src_band, not on_tpu())
         if batch.edge_src_perm is None:
             # shard_map path: no batch-global permutation; plain gathers (the
             # custom-vjp collective-typing doesn't compose with vma tracking).

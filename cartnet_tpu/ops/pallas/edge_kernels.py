@@ -57,8 +57,8 @@ SRC_BLK = 128
 
 
 def edge_windows_ok(dst, src, mask, num_nodes: int,
-                    num_src_nodes: int = None
-                    ) -> Tuple[bool, np.ndarray, np.ndarray]:
+                    num_src_nodes: int = None, band: int = None
+                    ) -> Tuple[bool, np.ndarray, np.ndarray, np.ndarray]:
     """Host-side soundness check + per-window band base rows.
 
     Returns (ok, dst_lo [nt], src_lo [nt], src_nblk [nt]); lo rows are
@@ -71,6 +71,8 @@ def edge_windows_ok(dst, src, mask, num_nodes: int,
     """
     if num_src_nodes is None:
         num_src_nodes = num_nodes
+    if band is None:
+        band = C_SRC
     e = len(dst)
     if e % T_EDGES != 0:
         return False, None, None, None
@@ -78,7 +80,7 @@ def edge_windows_ok(dst, src, mask, num_nodes: int,
     dst_lo = np.zeros(nt, np.int32)
     src_lo = np.zeros(nt, np.int32)
     src_nblk = np.zeros(nt, np.int32)
-    max_blk = C_SRC // SRC_BLK
+    max_blk = band // SRC_BLK
     for t in range(nt):
         sl = slice(t * T_EDGES, (t + 1) * T_EDGES)
         m = mask[sl]
@@ -91,7 +93,7 @@ def edge_windows_ok(dst, src, mask, num_nodes: int,
             return False, None, None, None
         smax = int(s_real.max())
         slo = min((int(s_real.min()) // 8) * 8,
-                  max(num_src_nodes - C_SRC, 0))
+                  max(num_src_nodes - band, 0))
         # fewest blocks covering the span, with every used block inside the
         # table (slo + SRC_BLK*nb <= num_src_nodes); clamping slo down can
         # grow the span by one block, so iterate
@@ -108,14 +110,31 @@ def edge_windows_ok(dst, src, mask, num_nodes: int,
     return True, dst_lo, src_lo, src_nblk
 
 
+def plan_edge_windows(dst, src, mask, num_nodes: int,
+                      num_src_nodes: int = None):
+    """Band-minimizing plan: the src one-hot matmuls are the kernel's
+    dominant FLOP term and scale with the band width, so pick the SMALLEST
+    MXU-granular band in {128, 256, 384} that covers every window's real
+    src span. Returns (ok, dst_lo, src_lo, src_nblk, band)."""
+    n_src = num_nodes if num_src_nodes is None else num_src_nodes
+    for band in (SRC_BLK, 2 * SRC_BLK, C_SRC):
+        if band > n_src:
+            break
+        ok, dlo, slo, nblk = edge_windows_ok(dst, src, mask, num_nodes,
+                                             num_src_nodes, band)
+        if ok:
+            return True, dlo, slo, nblk, band
+    return False, None, None, None, C_SRC
+
+
 def _onehot(ids, lo, c, dtype):
     cols = jax.lax.broadcasted_iota(jnp.int32, (ids.shape[0], c), 1)
     return (cols == (ids - lo)[:, None]).astype(dtype)
 
 
-def _fwd_kernel(dlo_ref, slo_ref, nblk_ref, dids_ref, sids_ref, xi_ref,
-                xj_ref, e_ref, we_ref, b_ref, w1g_ref, b1g_ref, w1a_ref,
-                b1a_ref, gate_ref, sender_ref, pre_ref, acc_ref):
+def _fwd_kernel(c_src, dlo_ref, slo_ref, nblk_ref, dids_ref, sids_ref,
+                xi_ref, xj_ref, e_ref, we_ref, b_ref, w1g_ref, b1g_ref,
+                w1a_ref, b1a_ref, gate_ref, sender_ref, pre_ref, acc_ref):
     t = pl.program_id(0)
     d = w1g_ref.shape[0]
     dlo = pl.multiple_of(dlo_ref[t], 8)
@@ -137,7 +156,7 @@ def _fwd_kernel(dlo_ref, slo_ref, nblk_ref, dids_ref, sids_ref, xi_ref,
     # for shapes where nblk is mostly 1.
     if os.environ.get("CARTNET_SRC_SKIP", "0") == "1":
         acc_ref[...] = gi + ew + b_ref[...].astype(jnp.float32)
-        for k in range(C_SRC // SRC_BLK):
+        for k in range(c_src // SRC_BLK):
             @pl.when(nblk_ref[t] > k)
             def _(k=k):
                 blo = pl.multiple_of(slo + k * SRC_BLK, 8)
@@ -146,9 +165,9 @@ def _fwd_kernel(dlo_ref, slo_ref, nblk_ref, dids_ref, sids_ref, xi_ref,
                     oh_k, xj_ref[pl.ds(blo, SRC_BLK), :],
                     preferred_element_type=jnp.float32)
         pre = acc_ref[...]
-    else:  # register path: one unconditional C_SRC-wide one-hot dot
-        oh_s = _onehot(sids, slo, C_SRC, cdt)
-        gj = jnp.dot(oh_s, xj_ref[pl.ds(slo, C_SRC), :],
+    else:  # register path: one unconditional c_src-wide one-hot dot
+        oh_s = _onehot(sids, slo, c_src, cdt)
+        gj = jnp.dot(oh_s, xj_ref[pl.ds(slo, c_src), :],
                      preferred_element_type=jnp.float32)
         pre = gi + gj + ew + b_ref[...].astype(jnp.float32)
     h = jax.nn.silu(pre).astype(cdt)
@@ -164,10 +183,10 @@ def _fwd_kernel(dlo_ref, slo_ref, nblk_ref, dids_ref, sids_ref, xi_ref,
     pre_ref[...] = pre.astype(pre_ref.dtype)
 
 
-def _bwd_kernel(dlo_ref, slo_ref, nblk_ref, dids_ref, sids_ref, xi_ref,
-                xj_ref, e_ref, we_ref, b_ref, w1g_ref, b1g_ref, w1a_ref,
-                b1a_ref, pre_saved_ref, dgate_ref, dsender_ref, deres_ref,
-                de_ref, dxi_ref, dxj_ref, dwe_ref, db_ref,
+def _bwd_kernel(c_src, dlo_ref, slo_ref, nblk_ref, dids_ref, sids_ref,
+                xi_ref, xj_ref, e_ref, we_ref, b_ref, w1g_ref, b1g_ref,
+                w1a_ref, b1a_ref, pre_saved_ref, dgate_ref, dsender_ref,
+                deres_ref, de_ref, dxi_ref, dxj_ref, dwe_ref, db_ref,
                 dw1g_ref, db1g_ref, dw1a_ref, db1a_ref):
     t = pl.program_id(0)
     d = w1g_ref.shape[0]
@@ -228,7 +247,7 @@ def _bwd_kernel(dlo_ref, slo_ref, nblk_ref, dids_ref, sids_ref, xi_ref,
     dxi_ref[pl.ds(dlo, C_DST), :] += jax.lax.dot_general(
         oh_d, dpre_c, dims_tt, preferred_element_type=jnp.float32)
     sids = sids_ref[t]
-    for k in range(C_SRC // SRC_BLK):
+    for k in range(c_src // SRC_BLK):
         @pl.when(nblk_ref[t] > k)
         def _(k=k):
             blo = pl.multiple_of(slo + k * SRC_BLK, 8)
@@ -265,13 +284,14 @@ def _prep(xi, xj, dst, src, dst_lo, src_lo):
 
 
 def edge_phase_fwd(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src,
-                   dst_lo, src_lo, src_nblk=None, interpret: bool = False):
+                   dst_lo, src_lo, src_nblk=None, c_src: int = C_SRC,
+                   interpret: bool = False):
     n_i, d2 = xi.shape
     n_j = xj.shape[0]
     d = d2 // 2
     E = e.shape[0]
     if src_nblk is None:
-        src_nblk = jnp.full(E // T_EDGES, C_SRC // SRC_BLK, jnp.int32)
+        src_nblk = jnp.full(E // T_EDGES, c_src // SRC_BLK, jnp.int32)
     # uniform vma: under shard_map the node tables may be replicated over ep
     # while the edge windows vary (ops/pallas/vma.py)
     vma = vma_union(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src,
@@ -298,9 +318,9 @@ def edge_phase_fwd(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src,
                                 lambda t, dlo, slo, nb: (t, 0))],
         scratch_shapes=[pltpu.VMEM((T_EDGES, 2 * d), jnp.float32)],
     )
-    flops = 2 * E * (C_DST + C_SRC) * 2 * d + 2 * E * d * 2 * d * 2
+    flops = 2 * E * (C_DST + c_src) * 2 * d + 2 * E * d * 2 * d * 2
     gate, sender, pre = pl.pallas_call(
-        _fwd_kernel,
+        functools.partial(_fwd_kernel, c_src),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((E, d), xi.dtype, vma=vma),
                    jax.ShapeDtypeStruct((E, d), xi.dtype, vma=vma),
@@ -317,13 +337,13 @@ def edge_phase_fwd(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src,
 
 def edge_phase_bwd_call(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src,
                         dst_lo, src_lo, src_nblk, pre, dgate, dsender, deres,
-                        interpret: bool = False):
+                        c_src: int = C_SRC, interpret: bool = False):
     n_i, d2 = xi.shape
     n_j = xj.shape[0]
     d = d2 // 2
     E = e.shape[0]
     if src_nblk is None:
-        src_nblk = jnp.full(E // T_EDGES, C_SRC // SRC_BLK, jnp.int32)
+        src_nblk = jnp.full(E // T_EDGES, c_src // SRC_BLK, jnp.int32)
     vma = vma_union(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src,
                     dst_lo, src_lo, src_nblk, pre, dgate, dsender, deres)
     if interpret and vma:
@@ -357,9 +377,9 @@ def edge_phase_bwd_call(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src,
             const((1, d)),            # db1a
         ],
     )
-    flops = 3 * (2 * E * (C_DST + C_SRC) * 2 * d + 6 * E * d * 2 * d * 2)
+    flops = 3 * (2 * E * (C_DST + c_src) * 2 * d + 6 * E * d * 2 * d * 2)
     outs = pl.pallas_call(
-        _bwd_kernel,
+        functools.partial(_bwd_kernel, c_src),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((E, d), e.dtype, vma=vma),
@@ -383,39 +403,42 @@ def edge_phase_bwd_call(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src,
     return outs
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(14,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(14, 15))
 def edge_phase(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, dst_lo,
-               src_lo, src_nblk=None, interpret: bool = False):
+               src_lo, src_nblk=None, c_src: int = C_SRC,
+               interpret: bool = False):
     """Fused gather+MLP edge phase -> (gate, sender, e_res), [E, d] each.
 
     e_res is e passed through unchanged (zero cost forward). Route the
     layer's edge residual through it (e_out = e_res + sigma) so that the
     residual's backward add folds into this op's de output instead of a
     separate XLA [E,d] pass. ``src_nblk`` [nt]: per-window src block count
-    from edge_windows_ok (None -> no skipping).
+    from edge_windows_ok (None -> no skipping). ``c_src`` (static): the src
+    band width this batch's plan was built for (plan_edge_windows) — the
+    dominant FLOP term scales with it.
     """
     gate, sender, _ = edge_phase_fwd(xi, xj, e, we, b, w1g, b1g, w1a, b1a,
                                      dst, src, dst_lo, src_lo, src_nblk,
-                                     interpret)
+                                     c_src, interpret)
     return gate, sender, e
 
 
 def _ep_fwd(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, dst_lo, src_lo,
-            src_nblk, interpret):
+            src_nblk, c_src, interpret):
     gate, sender, pre = edge_phase_fwd(xi, xj, e, we, b, w1g, b1g, w1a, b1a,
                                        dst, src, dst_lo, src_lo, src_nblk,
-                                       interpret)
+                                       c_src, interpret)
     return (gate, sender, e), (xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src,
                                dst_lo, src_lo, src_nblk, pre)
 
 
-def _ep_bwd(interpret, res, cts):
+def _ep_bwd(c_src, interpret, res, cts):
     (xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, dst_lo, src_lo,
      src_nblk, pre) = res
     dgate, dsender, deres = cts
     (de, dxi, dxj, dwe, db, dw1g, db1g, dw1a, db1a) = edge_phase_bwd_call(
         xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, dst_lo, src_lo,
-        src_nblk, pre, dgate, dsender, deres, interpret)
+        src_nblk, pre, dgate, dsender, deres, c_src, interpret)
     # under shard_map every grad above is a per-member partial accumulated
     # over that member's edge windows; inputs replicated across mesh axes
     # (node tables over ep, weights over everything) need their partials
@@ -439,12 +462,15 @@ edge_phase.defvjp(_ep_fwd, _ep_bwd)
 
 
 def edge_fuse_shapes_ok(num_edges: int, num_nodes: int, dim: int,
-                        itemsize: int = 2, num_src_nodes: int = None) -> bool:
+                        itemsize: int = 2, num_src_nodes: int = None,
+                        c_src: int = None) -> bool:
     """Static gate: window divisibility, lane alignment, VMEM budget.
     ``num_src_nodes``: rows of the src table when it differs from the dst
     table (halo [local ‖ recv] layout)."""
     if num_src_nodes is None:
         num_src_nodes = num_nodes
+    if c_src is None:
+        c_src = C_SRC
     d2 = 2 * dim
     rows = num_nodes + num_src_nodes
     vmem = (rows * d2 * itemsize            # xi/xj resident
@@ -453,5 +479,5 @@ def edge_fuse_shapes_ok(num_edges: int, num_nodes: int, dim: int,
             + 6 * T_EDGES * d2 * 4)         # window intermediates
     return (num_edges % T_EDGES == 0 and dim % 128 == 0
             and num_nodes % 8 == 0 and num_src_nodes % 8 == 0
-            and num_nodes >= C_DST and num_src_nodes >= C_SRC
+            and num_nodes >= C_DST and num_src_nodes >= c_src
             and vmem < 14 * 1024 * 1024)

@@ -107,6 +107,7 @@ def _chunk_in_axes(batch: CrystalBatch):
         halo_send_idx=0, halo_send_mask=0,
         edge_fuse_ok=batch.edge_fuse_ok,
         pallas_seg_ok=batch.pallas_seg_ok,
+        src_band=batch.src_band,
         halo_empty=batch.halo_empty)
 
 
@@ -182,6 +183,7 @@ def make_chunked_steps(cfg: Config, model_apply, optimizer):
     def eval_step(params, bn_state, batch):
         return _eval_for(batch.edge_fuse_ok, batch.pallas_seg_ok,
                          batch.halo_empty)(params, bn_state, batch)
+    # NB: src_band rides the treedef, so the jit caches retrace per band
 
     @functools.partial(jax.jit, donate_argnums=0)
     def update_step(state: TrainState):

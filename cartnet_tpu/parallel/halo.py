@@ -255,24 +255,41 @@ def to_halo(batch: CrystalBatch, ep: int,
     # [local (n_per) ‖ recv (ep*h_max)] table. One traced program covers all
     # members, so the flags AND over members.
     from cartnet_tpu.data.batching import _windows_ok
-    from cartnet_tpu.ops.pallas.edge_kernels import T_EDGES, edge_windows_ok
+    from cartnet_tpu.ops.pallas.edge_kernels import (C_SRC, T_EDGES,
+                                                     plan_edge_windows)
     seg_ok = e_per % T_EDGES == 0
     fuse_ok = seg_ok
     nt = max(E // T_EDGES, 1)
     dst_lo = np.zeros(nt, np.int32)
     src_lo = np.zeros(nt, np.int32)
     src_nblk = np.zeros(nt, np.int32)
+    src_band = SRC_BAND_MIN = 128
     n_src = n_per + ep * h_max
     nt_per = e_per // T_EDGES if seg_ok else 0
+    plans = []
     for m in range(ep):
         if not seg_ok:
             break
         sl = slice(m * e_per, (m + 1) * e_per)
         seg_ok = seg_ok and _windows_ok(out_dst[sl], out_emask[sl])
         if fuse_ok:
-            ok_m, dlo_m, slo_m, nblk_m = edge_windows_ok(
+            ok_m, dlo_m, slo_m, nblk_m, band_m = plan_edge_windows(
                 out_dst[sl], out_src[sl], out_emask[sl], n_per, n_src)
             fuse_ok = bool(ok_m)
+            if ok_m:
+                plans.append((sl, out_dst[sl], out_src[sl], out_emask[sl]))
+                src_band = max(src_band, int(band_m))
+                dst_lo[m * nt_per:(m + 1) * nt_per] = dlo_m
+                src_lo[m * nt_per:(m + 1) * nt_per] = slo_m
+                src_nblk[m * nt_per:(m + 1) * nt_per] = nblk_m
+    if fuse_ok and seg_ok and src_band > SRC_BAND_MIN:
+        # one traced program covers all members: re-plan every member at the
+        # shared (max) band so slo clamps are consistent
+        from cartnet_tpu.ops.pallas.edge_kernels import edge_windows_ok
+        for (sl, dst_m, src_m, mask_m), m in zip(plans, range(ep)):
+            ok_m, dlo_m, slo_m, nblk_m = edge_windows_ok(
+                dst_m, src_m, mask_m, n_per, n_src, band=src_band)
+            fuse_ok = fuse_ok and bool(ok_m)
             if ok_m:
                 dst_lo[m * nt_per:(m + 1) * nt_per] = dlo_m
                 src_lo[m * nt_per:(m + 1) * nt_per] = slo_m
@@ -281,6 +298,7 @@ def to_halo(batch: CrystalBatch, ep: int,
         dst_lo[:] = 0
         src_lo[:] = 0
         src_nblk[:] = 0
+        src_band = C_SRC
 
     return batch.replace(
         z=out_z, pos=out_pos, graph_id=out_gid, node_mask=out_nmask,
@@ -289,6 +307,7 @@ def to_halo(batch: CrystalBatch, ep: int,
         cart_dir=out_dir, edge_mask=out_emask,
         edge_src_perm=None, pallas_seg_ok=bool(seg_ok),
         edge_dst_lo=dst_lo, edge_src_lo=src_lo, edge_src_nblk=src_nblk,
+        src_band=int(src_band),
         edge_fuse_ok=bool(fuse_ok),
         edge_src_sorted=None,
         halo_empty=bool(send_mask.sum() == 0),

@@ -70,6 +70,9 @@ def stack_for_shards(batches: List[CrystalBatch],
         batches = [b.replace(edge_src_perm=None, edge_src_sorted=None)
                    for b in batches]
     hempty = all(b.halo_empty for b in batches)
+    from cartnet_tpu.data.batching import upgrade_src_band
+    band = max(b.src_band for b in batches)
+    batches = [upgrade_src_band(b, band) for b in batches]
     batches = [b.replace(edge_fuse_ok=fuse, pallas_seg_ok=seg,
                          halo_empty=hempty)
                for b in batches]
@@ -182,17 +185,17 @@ def make_parallel_steps(cfg: Config, model_apply, optimizer, mesh: Mesh,
     # in_specs must match the input's treedef exactly — so the shard_map (and
     # its jit) is instantiated per flag combination (≤4 per run, typically 1)
     @functools.lru_cache(maxsize=None)
-    def _micro_for(fuse: bool, seg: bool, hempty: bool):
+    def _micro_for(fuse: bool, seg: bool, hempty: bool, band: int):
         specs = bspecs.replace(edge_fuse_ok=fuse, pallas_seg_ok=seg,
-                               halo_empty=hempty)
+                               halo_empty=hempty, src_band=band)
         sm = jax.shard_map(_micro, mesh=mesh,
                           in_specs=(rep, specs), out_specs=(rep, rep))
         return jax.jit(sm, donate_argnums=0)
 
     @functools.lru_cache(maxsize=None)
-    def _eval_for(fuse: bool, seg: bool, hempty: bool):
+    def _eval_for(fuse: bool, seg: bool, hempty: bool, band: int):
         specs = bspecs.replace(edge_fuse_ok=fuse, pallas_seg_ok=seg,
-                               halo_empty=hempty)
+                               halo_empty=hempty, src_band=band)
         sm = jax.shard_map(_eval, mesh=mesh,
                           in_specs=(rep, rep, specs),
                           out_specs=(pred_spec, pred_spec, rep))
@@ -200,11 +203,12 @@ def make_parallel_steps(cfg: Config, model_apply, optimizer, mesh: Mesh,
 
     def micro_step(state, batch):
         return _micro_for(batch.edge_fuse_ok, batch.pallas_seg_ok,
-                          batch.halo_empty)(state, batch)
+                          batch.halo_empty, batch.src_band)(state, batch)
 
     def eval_step(params, bn_state, batch):
         return _eval_for(batch.edge_fuse_ok, batch.pallas_seg_ok,
-                         batch.halo_empty)(params, bn_state, batch)
+                         batch.halo_empty, batch.src_band)(params, bn_state,
+                                                           batch)
 
     @functools.partial(jax.jit, donate_argnums=0)
     def update_step(state: TrainState):
@@ -302,15 +306,16 @@ def make_parallel_fused_chunk(cfg: Config, model_apply, optimizer,
     rep = P()
 
     @functools.lru_cache(maxsize=None)
-    def _chunk_for(fuse: bool, seg: bool, hempty: bool):
+    def _chunk_for(fuse: bool, seg: bool, hempty: bool, band: int):
         specs = scan_specs.replace(edge_fuse_ok=fuse, pallas_seg_ok=seg,
-                                   halo_empty=hempty)
+                                   halo_empty=hempty, src_band=band)
         sm = jax.shard_map(_chunk, mesh=mesh,
                            in_specs=(rep, specs), out_specs=(rep, rep))
         return jax.jit(sm, donate_argnums=0)
 
     def chunk(state, stacked):
         return _chunk_for(stacked.edge_fuse_ok, stacked.pallas_seg_ok,
-                          stacked.halo_empty)(state, stacked)
+                          stacked.halo_empty, stacked.src_band)(state,
+                                                                stacked)
 
     return chunk

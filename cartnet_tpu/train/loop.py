@@ -407,9 +407,13 @@ def stack_batches(batches):
     """Stack a list of same-shape batches into a [K, ...] pytree for scan.
 
     Static kernel flags are AND-normalized first: a scan body is traced once,
-    so every stacked batch must satisfy the plan the trace commits to."""
+    so every stacked batch must satisfy the plan the trace commits to. The
+    src band upgrades to the stack's max (upgrade_src_band re-clamps plans)."""
+    from cartnet_tpu.data.batching import upgrade_src_band
     fuse = all(b.edge_fuse_ok for b in batches)
     seg = all(b.pallas_seg_ok for b in batches)
+    band = max(b.src_band for b in batches)
+    batches = [upgrade_src_band(b, band) for b in batches]
     batches = [b.replace(edge_fuse_ok=fuse, pallas_seg_ok=seg)
                for b in batches]
     return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *batches)

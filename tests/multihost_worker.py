@@ -53,7 +53,9 @@ def main():
     # spec tree must share the batch's STATIC flag treedef for tree.map
     specs = batch_pspecs(False, False, with_perm=True).replace(
         edge_fuse_ok=stacked.edge_fuse_ok,
-        pallas_seg_ok=stacked.pallas_seg_ok)
+        pallas_seg_ok=stacked.pallas_seg_ok,
+        src_band=stacked.src_band,
+        halo_empty=stacked.halo_empty)
 
     def to_global(x, spec):
         if x is None:

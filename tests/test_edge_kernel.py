@@ -57,7 +57,7 @@ def test_forward_matches_reference(setup):
     gate_k, sender_k, e_res = edge_phase(
         a["xi"], a["xj"], a["e"], a["we"], a["b"],
         a["w1g"], a["b1g"], a["w1a"], a["b1a"],
-        dst, src, dst_lo, src_lo, src_nblk, True)
+        dst, src, dst_lo, src_lo, src_nblk, interpret=True)
     gate_r, sender_r = _ref(a, dst, src)
     m = np.asarray(mask)
     np.testing.assert_array_equal(np.asarray(e_res), np.asarray(a["e"]))
@@ -80,7 +80,7 @@ def test_custom_vjp_matches_reference_grads(setup):
         aa = dict(zip(names, vals))
         g, s, er = edge_phase(aa["xi"], aa["xj"], aa["e"], aa["we"], aa["b"],
                               aa["w1g"], aa["b1g"], aa["w1a"], aa["b1a"],
-                              dst, src, dst_lo, src_lo, src_nblk, True)
+                              dst, src, dst_lo, src_lo, src_nblk, interpret=True)
         # the e_res cotangent exercises the fused de accumulation in the bwd
         # kernel (residual add folded into de)
         return jnp.sum(g * cg) + jnp.sum(s * cs) + jnp.sum(er * ce)
