@@ -109,10 +109,19 @@ def main():
             cfg = cfg_for(dp, ep, halo)
             mesh = make_mesh(dp, ep)
             slices = [slice_batch(i) for i in range(dp)]
+            boundary_frac = 0.0
             if halo:
                 slices_t = [to_halo(s, ep) for s in slices]
                 cb = comms_bytes_per_layer(slices_t[0], dim)
                 comms = cb[0]
+                # overlap model: the all_to_all is dispatched before the
+                # interior (src-local) gathers (models/cartnet.py), so the
+                # exchange hides whenever boundary work << interior work
+                b0 = slices_t[0]
+                n_per = b0.z.shape[0] // ep
+                em = np.asarray(b0.edge_mask)
+                boundary = np.asarray(b0.edge_src) >= n_per
+                boundary_frac = float((boundary & em).sum() / max(em.sum(), 1))
             else:
                 slices_t = slices
                 comms = (int(2 * (ep - 1) / ep * n_per_slice * dim * 4)
@@ -133,7 +142,11 @@ def main():
                 "layout": f"{dp}x{ep}", "halo": halo,
                 "edges_per_sec": round(eps, 1),
                 "efficiency": round(eps / (base_eps * dp * ep), 4),
-                "comms_bytes_per_layer": comms})
+                "comms_bytes_per_layer": comms,
+                # fraction of real edges whose source arrives via the halo
+                # exchange — the work that CANNOT overlap the all_to_all;
+                # everything else (1 - x) runs while the collective flies
+                "boundary_edge_fraction": round(boundary_frac, 4)})
             print(json.dumps(results[-1]), flush=True)
 
     print(json.dumps({"scaling_sweep": results}))
