@@ -73,9 +73,12 @@ def _download(name: str, raw_dir: str) -> str:
     if url is None:
         raise ValueError(f"unknown figshare dataset '{name}'")
     zip_path = os.path.join(raw_dir, f"{name}.zip")
-    logging.info("downloading %s from %s", name, url)
-    import urllib.request
-    urllib.request.urlretrieve(url, zip_path)  # raises in zero-egress envs
+    if not os.path.exists(zip_path):
+        # zero-egress environments: place either <name>.json or <name>.zip
+        # under <path>/raw and the download is skipped
+        logging.info("downloading %s from %s", name, url)
+        import urllib.request
+        urllib.request.urlretrieve(url, zip_path)
     with zipfile.ZipFile(zip_path) as zf:
         member = zf.namelist()[0]
         with zf.open(member) as f, open(json_path, "wb") as out:
