@@ -184,10 +184,13 @@ def _fwd_kernel(c_src, dlo_ref, slo_ref, nblk_ref, dids_ref, sids_ref,
 
 
 def _bwd_kernel(c_src, dlo_ref, slo_ref, nblk_ref, dids_ref, sids_ref,
-                xi_ref, xj_ref, e_ref, we_ref, b_ref, w1g_ref, b1g_ref,
+                e_ref, we_ref, b_ref, w1g_ref, b1g_ref,
                 w1a_ref, b1a_ref, pre_saved_ref, dgate_ref, dsender_ref,
                 deres_ref, de_ref, dxi_ref, dxj_ref, dwe_ref, db_ref,
                 dw1g_ref, db1g_ref, dw1a_ref, db1a_ref):
+    # NB: no xi/xj inputs — the backward never rereads the node tables
+    # (pre is saved by the forward); keeping them resident wasted ~2 MB of
+    # VMEM that the pipeline buffers want
     t = pl.program_id(0)
     d = w1g_ref.shape[0]
 
@@ -202,7 +205,7 @@ def _bwd_kernel(c_src, dlo_ref, slo_ref, nblk_ref, dids_ref, sids_ref,
         dw1a_ref[...] = jnp.zeros_like(dw1a_ref)
         db1a_ref[...] = jnp.zeros_like(db1a_ref)
 
-    cdt = xi_ref.dtype
+    cdt = e_ref.dtype
     dlo = pl.multiple_of(dlo_ref[t], 8)
     slo = pl.multiple_of(slo_ref[t], 8)
     oh_d = _onehot(dids_ref[t], dlo, C_DST, cdt)
@@ -358,10 +361,13 @@ def edge_phase_bwd_call(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src,
     nt, dids, sids = _prep(xi, xj, dst, src, dst_lo, src_lo)
     win = lambda shape: pl.BlockSpec(shape, lambda t, dlo, slo, nb: (t, 0))
     const = lambda shape: pl.BlockSpec(shape, lambda t, dlo, slo, nb: (0, 0))
+    bwd_in = [spec for i, spec in
+              enumerate(_specs(nt, n_i, n_j, E, d, T_EDGES))
+              if i not in (2, 3)]  # drop the unused xi/xj node tables
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(nt,),
-        in_specs=_specs(nt, n_i, n_j, E, d, T_EDGES) + [win((T_EDGES, 2 * d)),
+        in_specs=bwd_in + [win((T_EDGES, 2 * d)),
                                                  win((T_EDGES, d)),
                                                  win((T_EDGES, d)),
                                                  win((T_EDGES, d))],
@@ -397,7 +403,7 @@ def edge_phase_bwd_call(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src,
             flops=flops,
             bytes_accessed=E * d * 5 * xi.dtype.itemsize,
             transcendentals=E * 2 * d),
-    )(dst_lo, src_lo, src_nblk, dids, sids, xi, xj, e,
+    )(dst_lo, src_lo, src_nblk, dids, sids, e,
       we, b.reshape(1, -1), w1g, b1g.reshape(1, -1), w1a, b1a.reshape(1, -1),
       pre, dgate, dsender, deres)
     return outs
