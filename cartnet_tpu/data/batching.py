@@ -183,6 +183,10 @@ def upgrade_src_band(batch, band: int):
                  * batch.halo_send_idx.shape[-1])
     else:
         n_src = batch.z.shape[0]
+    if band > n_src:
+        # cannot happen for same-shaped stacks (a band is only ever planned
+        # against a table that holds it), but guard the invariant
+        raise ValueError(f"src band {band} exceeds the {n_src}-row table")
     slo = jnp.minimum(batch.edge_src_lo, max(n_src - band, 0))
     moved = slo != batch.edge_src_lo
     nblk = jnp.where(moved, band // SRC_BLK, batch.edge_src_nblk)

@@ -75,10 +75,10 @@ class CrystalBatch:
     # cuts) — the layers then skip the gather+all_to_all entirely and use a
     # zeros recv block (parallel/halo.py plans this at re-layout time)
     halo_empty: bool = flax.struct.field(pytree_node=False, default=False)
-    # per-window count of 128-row src blocks actually spanned (1..C_SRC/128);
-    # the fused kernel skips the unused block matmuls per window (pl.when) —
-    # the src one-hot is its dominant FLOP term. Zeros when edge_fuse_ok
-    # is False.
+    # per-window count of 128-row src blocks actually spanned
+    # (1..src_band/128); the fused BACKWARD kernel always skips the unused
+    # dxj block matmuls per window (pl.when), the forward optionally
+    # (CARTNET_SRC_SKIP). Zeros when edge_fuse_ok is False.
     edge_src_nblk: Optional[jnp.ndarray] = None   # [E/T] int32
     # host-precomputed edge_src[edge_src_perm] (ascending): the gather VJP
     # needs the sorted ids, and an s32 gather ON DEVICE runs at ~2 GiB/s

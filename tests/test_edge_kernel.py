@@ -182,3 +182,55 @@ def test_collate_edge_align_semantics():
     lu = loss_fn(params, bn, b0.replace(edge_fuse_ok=False),
                  cartnet_apply, cfg, True)[0]
     np.testing.assert_allclose(float(la), float(lu), rtol=1e-6)
+
+
+def test_upgrade_src_band_reclamps_soundly():
+    """Widening a batch's src band (stack/dp group max) must keep every
+    real src id inside [slo', slo' + band) and produce identical kernel
+    outputs — the re-clamp near the table end is the subtle case."""
+    from cartnet_tpu.data.batching import upgrade_src_band
+    from cartnet_tpu.ops.pallas.edge_kernels import (SRC_BLK, edge_phase_fwd,
+                                                     plan_edge_windows)
+    rng = np.random.RandomState(11)
+    n, d, E = 512, 128, 2 * T_EDGES
+    # src ids concentrated near the END of the table so the 128-band plan
+    # clamps slo near n-128 and widening to 384 forces slo' = n-384
+    dst = np.sort(rng.randint(0, 100, E)).astype(np.int32)
+    src = np.sort(rng.randint(n - 90, n, E)).astype(np.int32)
+    mask = np.ones(E, bool)
+    ok, dlo, slo, nblk, band = plan_edge_windows(dst, src, mask, n)
+    assert ok and band == SRC_BLK
+    from cartnet_tpu.data.schema import CrystalBatch
+    b = CrystalBatch(
+        z=np.zeros(n, np.int32), pos=np.zeros((n, 3), np.float32),
+        graph_id=np.zeros(n, np.int32), node_mask=np.ones(n, bool),
+        non_h_mask=np.ones(n, bool), edge_src=jnp.asarray(src),
+        edge_dst=jnp.asarray(dst), cart_dir=np.zeros((E, 3), np.float32),
+        cart_dist=np.zeros(E, np.float32), edge_mask=mask,
+        cell=np.eye(3, dtype=np.float32)[None], temperature=np.zeros(1),
+        graph_mask=np.ones(1, bool), y=np.zeros(1, np.float32),
+        edge_dst_lo=jnp.asarray(dlo), edge_src_lo=jnp.asarray(slo),
+        edge_src_nblk=jnp.asarray(nblk), src_band=int(band),
+        edge_fuse_ok=True)
+    up = upgrade_src_band(b, 384)
+    assert up.src_band == 384
+    slo_up = np.asarray(up.edge_src_lo)
+    assert (slo_up + 384 <= n).all()
+    assert (slo_up <= np.asarray(slo)).all()
+    # kernel outputs identical across bands (one-hot gathers are exact)
+    key = jax.random.key(1)
+    ks = jax.random.split(key, 9)
+    mk = lambda k, *s: jax.random.normal(k, s, jnp.float32) * 0.2
+    args = [mk(ks[0], n, 2 * D), mk(ks[1], n, 2 * D), mk(ks[2], E, D),
+            mk(ks[3], D, 2 * D), mk(ks[4], 2 * D), mk(ks[5], D, D),
+            mk(ks[6], D), mk(ks[7], D, D), mk(ks[8], D)]
+    g1, s1, _ = edge_phase_fwd(*args, jnp.asarray(dst), jnp.asarray(src),
+                               b.edge_dst_lo, b.edge_src_lo, b.edge_src_nblk,
+                               c_src=b.src_band, interpret=True)
+    g2, s2, _ = edge_phase_fwd(*args, jnp.asarray(dst), jnp.asarray(src),
+                               up.edge_dst_lo, up.edge_src_lo,
+                               up.edge_src_nblk, c_src=384, interpret=True)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                               rtol=1e-6, atol=1e-6)
