@@ -70,7 +70,7 @@ def target_weight(batch: CrystalBatch) -> float:
     for ADP targets, graphs for scalar targets (logger/logger.py:72-80)."""
     import numpy as np
     mask = batch.non_h_mask if batch.y.ndim >= 3 else batch.graph_mask
-    return float(np.sum(np.asarray(mask)))
+    return float(np.sum(np.asarray(mask)))  # chunked [K, n_per] sums fine
 
 
 def make_iou_fn(chunk: int = 128, num_points: int = 64):
@@ -203,17 +203,26 @@ def eval_epoch(state: TrainState, batches: Iterable[CrystalBatch], eval_step,
     (train/metrics.py:201-214).
     """
     import numpy as np
+
+    def _flat_y(batch):
+        # chunked batches carry node-aligned y as [K, n_per, 3, 3]; the
+        # chunked eval returns member-major FLAT predictions/masks, so align
+        y = batch.y
+        if getattr(y, "ndim", 0) == 4:
+            return y.reshape((-1,) + y.shape[2:])
+        return y
+
     preds = []
     pending = []
     t0 = time.time()
     for batch in batches:
         pred, mask, stats = eval_step(state.params, state.bn_state, batch)
         if iou_fn is not None:
-            stats = {**stats, "iou": iou_fn(pred, batch.y, mask)}
+            stats = {**stats, "iou": iou_fn(pred, _flat_y(batch), mask)}
         if logger is not None:
             from cartnet_tpu.models.cartnet import kernels_active
             pending.append((stats, target_weight(batch),
-                            pred, mask, batch.y,
+                            pred, mask, _flat_y(batch),
                             float(np.sum(np.asarray(batch.edge_mask))),
                             kernels_active(batch, _logged_dim(batch))))
         if collect:

@@ -106,3 +106,13 @@ def test_cli_dp_fused_and_buckets(tmp_path):
                             "--buckets", "2", "--batch", "2",
                             "--limit", "12"], "e2e_dp_fused")
     assert np.isfinite(stats["MAE"])
+
+
+def test_cli_chunked_adp_targets(tmp_path):
+    """--chunks with the Cholesky ADP head: the chunked eval returns flat
+    member-major predictions while batch.y stays chunked [K, n_per, 3, 3] —
+    the epoch logger and test-time IoU must realign them."""
+    stats = _run(tmp_path, ["--chunks", "2", "--batch", "4", "--limit", "16",
+                            "--cholesky"], "e2e_chunked_adp")
+    assert np.isfinite(stats["MAE"])
+    assert "similarity_index" in stats and "iou" in stats
