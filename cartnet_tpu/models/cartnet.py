@@ -92,11 +92,14 @@ def encoder_apply(p, batch: CrystalBatch, cfg: ModelConfig):
 _FORCE_SIGMA_INTERPRET = False
 
 
-def kernels_active(batch: CrystalBatch, dim: int, itemsize: int = 2) -> bool:
+def kernels_active(batch: CrystalBatch, dim: int, itemsize: int = 2,
+                   dp: int = 1, ep: int = 1) -> bool:
     """Host-side mirror of the layer kernel gates, for observability: True
     when THIS batch will actually run the fused Pallas paths (plan flags AND
     the runtime shape/VMEM gates — a big batch can silently fall back even
-    with valid plans, which is exactly what fused_fraction must expose)."""
+    with valid plans, which is exactly what fused_fraction must expose).
+    ``dp``/``ep``: the mesh a stacked super-batch is sharded over (the gates
+    apply to the PER-DEVICE shard sizes)."""
     if not (batch.edge_fuse_ok and batch.pallas_seg_ok):
         return False
     if dim <= 0:
@@ -117,7 +120,9 @@ def kernels_active(batch: CrystalBatch, dim: int, itemsize: int = 2) -> bool:
         n_src = n + (batch.halo_send_idx.shape[-2]
                      * batch.halo_send_idx.shape[-1])
     else:
-        n, e = batch.num_nodes, batch.num_edges
+        # non-halo: nodes split over dp (replicated over ep), edges over both
+        n = batch.num_nodes // max(dp, 1)
+        e = batch.num_edges // max(dp * ep, 1)
     return bool(edge_fuse_shapes_ok(e, n, dim, itemsize,
                                     num_src_nodes=n_src,
                                     c_src=batch.src_band)

@@ -214,7 +214,8 @@ def train(cfg: Config, state, model_apply, optimizer, pipes, resume=False,
 
     train_pipe, val_pipe, test_pipe = pipes
     from cartnet_tpu.train.loop import set_logged_dim
-    set_logged_dim(cfg.model.dim_in)  # fused_fraction gate mirror
+    set_logged_dim(cfg.model.dim_in, cfg.parallel.dp,
+                   cfg.parallel.ep)  # fused_fraction gate mirror
     loggers = create_loggers(cfg.run_dir)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(state.params))
     for lg in loggers:

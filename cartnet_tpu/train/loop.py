@@ -59,10 +59,13 @@ def _logged_dim(batch) -> int:
 
 
 _logged_dim.value = 0
+_logged_mesh = (1, 1)
 
 
-def set_logged_dim(dim: int):
+def set_logged_dim(dim: int, dp: int = 1, ep: int = 1):
+    global _logged_mesh
     _logged_dim.value = int(dim)
+    _logged_mesh = (max(int(dp), 1), max(int(ep), 1))
 
 
 def target_weight(batch: CrystalBatch) -> float:
@@ -177,7 +180,9 @@ def train_epoch(state: TrainState, batches: Iterable[CrystalBatch], micro_step,
             logger.update(stats, weight=target_weight(batch),
                           lr=lr,
                           edges=float(np.sum(np.asarray(batch.edge_mask))),
-                          fused=kernels_active(batch, _logged_dim(batch)))
+                          fused=kernels_active(batch, _logged_dim(batch),
+                                               dp=_logged_mesh[0],
+                                               ep=_logged_mesh[1]))
     if micro_count % batch_accumulation != 0:  # epoch-end flush (train/train.py:186)
         state = update_step(state)
     jax.block_until_ready(state.params)
@@ -224,7 +229,9 @@ def eval_epoch(state: TrainState, batches: Iterable[CrystalBatch], eval_step,
             pending.append((stats, target_weight(batch),
                             pred, mask, _flat_y(batch),
                             float(np.sum(np.asarray(batch.edge_mask))),
-                            kernels_active(batch, _logged_dim(batch))))
+                            kernels_active(batch, _logged_dim(batch),
+                                           dp=_logged_mesh[0],
+                                           ep=_logged_mesh[1])))
         if collect:
             preds.append((pred, mask, batch))
     for stats, w, pred, mask, y, edges, fused in pending:
@@ -338,7 +345,9 @@ def train_epoch_fused(state: TrainState, batches, chunk_fn, chunk_size: int,
         weights.append(target_weight(batch))
         edges.append(float(np.sum(np.asarray(batch.edge_mask))))
         from cartnet_tpu.models.cartnet import kernels_active
-        fused_flags.append(kernels_active(batch, _logged_dim(batch)))
+        fused_flags.append(kernels_active(batch, _logged_dim(batch),
+                                          dp=_logged_mesh[0],
+                                          ep=_logged_mesh[1]))
         if len(group) == chunk_size:
             flush_chunk(group)
             group = []
