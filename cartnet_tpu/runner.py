@@ -223,6 +223,10 @@ def train(cfg: Config, state, model_apply, optimizer, pipes, resume=False,
     wb = WandbLogger(wandb_project, wandb_entity, cfg.name, cfg,
                      enabled=wandb_enabled)
     dp, ep = cfg.parallel.dp, cfg.parallel.ep
+    if dp * ep > 1 and cfg.data.chunks > 1:
+        logging.warning("--chunks is a single-device execution mode and is "
+                        "ignored on a %dx%d mesh (the halo layout already "
+                        "bounds per-device kernel tables)", dp, ep)
     if dp * ep > 1:
         from cartnet_tpu.parallel.mesh import make_mesh
         from cartnet_tpu.parallel.step import make_parallel_steps
