@@ -30,7 +30,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from cartnet_tpu.config import Config, DataConfig, ModelConfig, OptimConfig
-    from cartnet_tpu.data.batching import collate
+    from cartnet_tpu.data.batching import bandwidth_reorder, collate
     from cartnet_tpu.data.synthetic import synthetic_dataset
     from cartnet_tpu.models.cartnet import cartnet_apply, cartnet_init
     from cartnet_tpu.train.loop import (build_optimizer, init_train_state,
@@ -38,6 +38,9 @@ def main():
 
     dim, layers, graphs = 256, 4, 4
     recs = synthetic_dataset(8, mean_atoms=194, radius=5.0, adp=True, seed=0)
+    # RCM relabeling, exactly as the real pipeline applies it (narrower fused
+    # edge-kernel src band — data/batching.bandwidth_reorder)
+    recs = [bandwidth_reorder(r) for r in recs]
     # pad to the worst of the two actual batches (what the size-bucketed
     # pipeline achieves on real datasets: data/pipeline.py buckets>1), not
     # the whole-dataset worst case — same static shapes, ~96% fill vs ~76%

@@ -35,6 +35,43 @@ def pad_sizes_for(records: Sequence[dict], multiple_nodes: int = 128,
     return rn, re
 
 
+def bandwidth_reorder(record: dict) -> dict:
+    """Relabel one crystal's atoms in reverse Cuthill-McKee order.
+
+    The fused edge kernel gathers each window's src rows through a banded
+    one-hot matmul whose FLOP cost scales with the band width (its dominant
+    term — ops/pallas/edge_kernels.py). The band must cover the window's src
+    id span, which for arbitrary atom numbering is the whole crystal. RCM
+    relabeling minimizes the graph bandwidth, so dst-sorted windows see src
+    ids clustered near their dst ids: plan_edge_windows can pick a narrower
+    band (384 -> 256 on ADP-scale synthetics) and the backward's per-block
+    skip fires more often (mean blocks 2.3 -> 1.9). Pure host-side exact
+    relabeling — model outputs are permutation-equivalent.
+    """
+    n = len(record["z"])
+    src = np.asarray(record["edge_src"])
+    dst = np.asarray(record["edge_dst"])
+    if n < 16 or len(src) == 0:
+        return record
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+    a = sp.coo_matrix((np.ones(len(src), np.int8), (dst, src)),
+                      shape=(n, n)).tocsr()
+    perm = np.asarray(reverse_cuthill_mckee(a, symmetric_mode=False),
+                      np.int64)
+    inv = np.empty(n, np.int64)
+    inv[perm] = np.arange(n)
+    out = dict(record)
+    out["z"] = np.asarray(record["z"])[perm]
+    out["pos"] = np.asarray(record["pos"])[perm]
+    y = np.asarray(record["y"])
+    if y.ndim == 3:  # per-atom ADP targets ride with their atom
+        out["y"] = y[perm]
+    out["edge_src"] = inv[src]
+    out["edge_dst"] = inv[dst]
+    return out
+
+
 def collate(records: Sequence[dict], max_nodes: int, max_edges: int,
             max_graphs: int, adp: Optional[bool] = None,
             edge_align: int = 0) -> CrystalBatch:

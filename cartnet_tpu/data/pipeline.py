@@ -16,7 +16,7 @@ from typing import Iterator, List, Optional, Sequence
 import numpy as np
 
 from cartnet_tpu.data.adp import augment_record
-from cartnet_tpu.data.batching import collate
+from cartnet_tpu.data.batching import bandwidth_reorder, collate
 from cartnet_tpu.data.schema import CrystalBatch
 
 
@@ -98,7 +98,8 @@ class BatchPipeline:
                  drop_last: bool = False, prefetch: int = 2,
                  cache: Optional[bool] = None, workers: int = 0,
                  buckets: int = 1, edge_align: Optional[int] = None,
-                 node_multiple: int = 128, edge_multiple: int = 512):
+                 node_multiple: int = 128, edge_multiple: int = 512,
+                 reorder: Optional[bool] = None):
         """``buckets`` > 1: records are split into size quantiles (by edge
         count), each bucket padded to ITS OWN worst batch — bounds the pad
         waste a heavy size tail causes under a single global shape, at the
@@ -115,6 +116,10 @@ class BatchPipeline:
             if edge_align is None:
                 edge_align = edge_align_for(edges)
         self.edge_align = edge_align or 0
+        # RCM atom relabeling narrows the fused edge kernel's src band
+        # (batching.bandwidth_reorder); only worth the host work where the
+        # band matters, i.e. on window-aligned (ADP-scale) datasets
+        self.reorder = bool(self.edge_align) if reorder is None else reorder
         if self.buckets > 1:
             order = np.argsort(edges, kind="stable")
             self._bucket_idx = [b for b in np.array_split(order, self.buckets)
@@ -175,6 +180,8 @@ class BatchPipeline:
             if self.augment:
                 recs = [augment_record(r, self._rng, self.rotate_targets)
                         for r in recs]
+            if self.reorder:
+                recs = [bandwidth_reorder(r) for r in recs]
             yield collate(recs, mn, me, bs, edge_align=self.edge_align)
 
     def bucket_batch_counts(self):

@@ -24,7 +24,7 @@ def capture(outdir: str):
     import jax.numpy as jnp
     import numpy as np
     from cartnet_tpu.config import Config, DataConfig, ModelConfig, OptimConfig
-    from cartnet_tpu.data.batching import collate
+    from cartnet_tpu.data.batching import bandwidth_reorder, collate
     from cartnet_tpu.data.synthetic import synthetic_dataset
     from cartnet_tpu.models.cartnet import cartnet_apply, cartnet_init
     from cartnet_tpu.train.loop import (build_optimizer, init_train_state,
@@ -32,6 +32,7 @@ def capture(outdir: str):
 
     dim, layers, graphs = 256, 4, 4
     recs = synthetic_dataset(8, mean_atoms=194, radius=5.0, adp=True, seed=0)
+    recs = [bandwidth_reorder(r) for r in recs]  # match bench.py
     groups = [recs[i * graphs:(i + 1) * graphs] for i in range(2)]
     align = 512
     rnd = lambda v, m: -(-v // m) * m

@@ -173,3 +173,67 @@ def test_bucketed_pipeline_fill_floor_and_coverage():
     # same seed -> same epoch; rng state advances across epochs inside one
     # pipeline, so compare two fresh pipelines
     assert b1 == b2
+
+
+# ------------------------------------------------------- bandwidth reorder
+
+def _edge_fingerprint(rec):
+    """Node-labeling-invariant edge multiset: rows keyed by endpoint
+    positions + geometry (positions identify atoms regardless of ids)."""
+    pos = np.asarray(rec["pos"])
+    rows = np.concatenate([
+        pos[np.asarray(rec["edge_src"])], pos[np.asarray(rec["edge_dst"])],
+        np.asarray(rec["cart_dist"])[:, None], np.asarray(rec["cart_dir"])],
+        axis=1)
+    return rows[np.lexsort(rows.T[::-1])]
+
+
+def test_bandwidth_reorder_is_exact_relabeling():
+    from cartnet_tpu.data.batching import bandwidth_reorder
+    from cartnet_tpu.data.synthetic import synthetic_dataset
+    for rec in synthetic_dataset(3, mean_atoms=60, radius=5.0, adp=True,
+                                 seed=3):
+        out = bandwidth_reorder(rec)
+        # atoms are a permutation: (z, pos, y) rows ride together
+        a = np.concatenate([np.asarray(rec["z"])[:, None],
+                            np.asarray(rec["pos"]),
+                            np.asarray(rec["y"]).reshape(len(rec["z"]), 9)], 1)
+        b = np.concatenate([np.asarray(out["z"])[:, None],
+                            np.asarray(out["pos"]),
+                            np.asarray(out["y"]).reshape(len(out["z"]), 9)], 1)
+        np.testing.assert_array_equal(a[np.lexsort(a.T[::-1])],
+                                      b[np.lexsort(b.T[::-1])])
+        # edges are the same multiset under the relabeling
+        np.testing.assert_allclose(_edge_fingerprint(rec),
+                                   _edge_fingerprint(out), rtol=0, atol=0)
+
+
+def test_bandwidth_reorder_model_equivalent():
+    """Relabeling atoms must not change per-graph predictions (the model is
+    permutation-equivariant; scalar head is permutation-invariant)."""
+    import jax
+    from cartnet_tpu.config import ModelConfig
+    from cartnet_tpu.data.batching import bandwidth_reorder, collate
+    from cartnet_tpu.data.synthetic import synthetic_dataset
+    from cartnet_tpu.models.cartnet import cartnet_apply, cartnet_init
+    recs = synthetic_dataset(3, mean_atoms=24, radius=5.0, adp=False, seed=7)
+    cfg = ModelConfig(dim_in=32, dim_rbf=8, num_layers=2, cholesky=False)
+    params, state = cartnet_init(jax.random.key(0), cfg)
+    b0 = collate(recs, 128, 4096, 4)
+    b1 = collate([bandwidth_reorder(r) for r in recs], 128, 4096, 4)
+    p0, m0, _ = cartnet_apply(params, state, b0, cfg, training=True)
+    p1, m1, _ = cartnet_apply(params, state, b1, cfg, training=True)
+    np.testing.assert_array_equal(np.asarray(m0), np.asarray(m1))
+    np.testing.assert_allclose(np.asarray(p0)[np.asarray(m0)],
+                               np.asarray(p1)[np.asarray(m1)],
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_pipeline_reorder_defaults_to_edge_aligned():
+    recs = list(SynthLazy(8, atoms=24))
+    assert BatchPipeline(recs, 4, 128, 1024, edge_align=512).reorder
+    assert not BatchPipeline(recs, 4, 128, 1024, edge_align=0).reorder
+    # batches still come out well-formed with reorder forced on
+    pipe = BatchPipeline(recs, 4, 128, 1024, edge_align=0, reorder=True)
+    b = next(iter(pipe))
+    assert int(b.edge_mask.sum()) == 4 * 48
