@@ -208,12 +208,25 @@ def _bwd_kernel(c_src, dlo_ref, slo_ref, nblk_ref, dids_ref, sids_ref,
     cdt = e_ref.dtype
     dlo = pl.multiple_of(dlo_ref[t], 8)
     slo = pl.multiple_of(slo_ref[t], 8)
-    oh_d = _onehot(dids_ref[t], dlo, C_DST, cdt)
     e_w = e_ref[...]
-    pre = pre_saved_ref[...].astype(jnp.float32)  # saved by the fwd kernel
-    h = jax.nn.silu(pre).astype(cdt)
     dg = dgate_ref[...].astype(cdt)       # [T, d]
     ds = dsender_ref[...].astype(cdt)
+
+    # the input-only MXU dots are issued before the VPU silu' chain so the
+    # scheduler CAN overlap them (measured neutral — Mosaic already
+    # interleaves; kept for the cheaper silu' algebra below):
+    # dh = [dg @ W1g^T ‖ ds @ W1a^T]  (contract over output dim)
+    dims_nt = (((1,), (1,)), ((), ()))
+    dh_g = jax.lax.dot_general(dg, w1g_ref[...], dims_nt,
+                               preferred_element_type=jnp.float32)
+    dh_a = jax.lax.dot_general(ds, w1a_ref[...], dims_nt,
+                               preferred_element_type=jnp.float32)
+
+    pre = pre_saved_ref[...].astype(jnp.float32)  # saved by the fwd kernel
+    sig = jax.nn.sigmoid(pre)
+    h32 = pre * sig                                       # = silu(pre)
+    h = h32.astype(cdt)
+    oh_d = _onehot(dids_ref[t], dlo, C_DST, cdt)
 
     db1g_ref[...] += jnp.sum(dg, axis=0, dtype=jnp.float32)[None, :]
     db1a_ref[...] += jnp.sum(ds, axis=0, dtype=jnp.float32)[None, :]
@@ -224,15 +237,9 @@ def _bwd_kernel(c_src, dlo_ref, slo_ref, nblk_ref, dids_ref, sids_ref,
     dw1a_ref[...] += jax.lax.dot_general(
         h[:, d:], ds, dims_tt, preferred_element_type=jnp.float32)
 
-    # dh = [dg @ W1g^T ‖ ds @ W1a^T]  (contract over output dim)
-    dims_nt = (((1,), (1,)), ((), ()))
-    dh_g = jax.lax.dot_general(dg, w1g_ref[...], dims_nt,
-                               preferred_element_type=jnp.float32)
-    dh_a = jax.lax.dot_general(ds, w1a_ref[...], dims_nt,
-                               preferred_element_type=jnp.float32)
     dh = jnp.concatenate([dh_g, dh_a], axis=1)            # [T, 2d] f32
-    sig = jax.nn.sigmoid(pre)
-    dpre = dh * (sig * (1.0 + pre * (1.0 - sig)))         # silu' in f32
+    # silu' = sig + pre*sig*(1-sig) = sig + h32*(1-sig)  (reuses h32)
+    dpre = dh * (sig + h32 * (1.0 - sig))
     dpre_c = dpre.astype(cdt)
 
     db_ref[...] += jnp.sum(dpre, axis=0)[None, :]

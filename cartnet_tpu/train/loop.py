@@ -406,7 +406,14 @@ def make_fused_steps(cfg: Config, model_apply, optimizer, num_steps: int):
             from cartnet_tpu.train.guard import guard_contribution
             ok, grads, new_bn = guard_contribution(loss, grads, new_bn,
                                                    state.bn_state)
-            state = jax.lax.cond(ok, apply, lambda s: s, state)
+            # per-leaf select instead of lax.cond: the identity branch of a
+            # cond must COPY the whole params+opt pytree (~30 MB at flagship
+            # scale) every micro step, while a select fuses into the Adam
+            # update's elementwise writes (grads are already zeroed when !ok,
+            # so the taken values are finite either way)
+            new_state = apply(state)
+            state = jax.tree.map(lambda n, o: jnp.where(ok, n, o),
+                                 new_state, state)
             state = state.replace(bad_steps=state.bad_steps
                                   + (1 - ok.astype(jnp.int32)))
         else:
