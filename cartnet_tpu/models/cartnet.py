@@ -61,14 +61,20 @@ def encoder_init(key, cfg: ModelConfig):
 def encoder_apply(p, batch: CrystalBatch, cfg: ModelConfig):
     """Returns (x [N,d], e [E,d])."""
     dt = cfg.compute_dtype
+    # embedding + per-graph gathers as one-hot MXU matmuls: bit-exact with
+    # jnp.take, but the backward becomes a dense matmul instead of the
+    # ~19 us/step serial scatter XLA emits for take's VJP (nn.core)
+    graph_oh = (batch.graph_id[:, None] == jnp.arange(
+        batch.num_graphs, dtype=batch.graph_id.dtype)[None, :]).astype(dt)
     if cfg.use_temperature and cfg.use_atom_types:
         t = nn.linear(p["temp_proj"], batch.temperature[:, None].astype(dt))
-        x = nn.embedding(p["embedding"], batch.z).astype(dt) + t[batch.graph_id]
+        x = (nn.embedding_onehot(p["embedding"], batch.z, dt)
+             + jnp.dot(graph_oh, t, preferred_element_type=dt))
     elif cfg.use_atom_types:
-        x = nn.embedding(p["embedding"], batch.z).astype(dt) + p["bias"]
+        x = nn.embedding_onehot(p["embedding"], batch.z, dt) + p["bias"]
     elif cfg.use_temperature:
         t = nn.linear(p["temp_proj"], batch.temperature[:, None].astype(dt))
-        x = t[batch.graph_id]
+        x = jnp.dot(graph_oh, t, preferred_element_type=dt)
     else:
         x = jnp.broadcast_to(p["embedding"]["w"][0].astype(dt),
                              (batch.num_nodes, cfg.dim_in))

@@ -56,6 +56,19 @@ def embedding(params, idx):
     return jnp.take(params["w"], idx, axis=0)
 
 
+def embedding_onehot(params, idx, dtype):
+    """Embedding lookup as a one-hot MXU matmul.
+
+    Bit-exact with ``embedding`` (each output row copies exactly one table
+    row), but its transpose/backward is a dense one-hot matmul instead of
+    the serial VMEM-bound scatter XLA emits for take's VJP — xprof'd at
+    ~19 us/step vs sub-us on the MXU at flagship shapes (PERF_NOTES).
+    Use on hot per-step paths with SMALL tables (cost scales with rows)."""
+    w = params["w"].astype(dtype)
+    oh = (idx[:, None] == jnp.arange(w.shape[0], dtype=idx.dtype)[None, :])
+    return jnp.dot(oh.astype(dtype), w, preferred_element_type=dtype)
+
+
 def mlp_init(key, dims: Sequence[int], bias: bool = True, dtype=jnp.float32):
     """Params for a chain of Linear layers; activations applied by caller."""
     keys = jax.random.split(key, len(dims) - 1)
