@@ -212,7 +212,7 @@ def _dual_edge_mlp(p, x, e, batch: CrystalBatch,
                     xi, xj, e, we, b,
                     p["mlp_gate"]["lin1"]["w"], p["mlp_gate"]["lin1"]["b"],
                     p["mlp_aggr"]["lin1"]["w"], p["mlp_aggr"]["lin1"]["b"],
-                    batch.edge_dst, batch.edge_src,
+                    batch.edge_dst, batch.edge_src, batch.edge_mask,
                     batch.edge_dst_lo, batch.edge_src_lo,
                     batch.edge_src_nblk, batch.src_band, not on_tpu())
         # overlap path: interior (src-local) gathers + xi/xj projections run
@@ -242,7 +242,7 @@ def _dual_edge_mlp(p, x, e, batch: CrystalBatch,
                     xi, xj, e, we, b,
                     p["mlp_gate"]["lin1"]["w"], p["mlp_gate"]["lin1"]["b"],
                     p["mlp_aggr"]["lin1"]["w"], p["mlp_aggr"]["lin1"]["b"],
-                    batch.edge_dst, batch.edge_src,
+                    batch.edge_dst, batch.edge_src, batch.edge_mask,
                     batch.edge_dst_lo, batch.edge_src_lo,
                     batch.edge_src_nblk, batch.src_band, not on_tpu())
         if batch.edge_src_perm is None:
@@ -262,7 +262,7 @@ def _dual_edge_mlp(p, x, e, batch: CrystalBatch,
     h = jax.nn.silu(pre)
     gate = nn.linear(p["mlp_gate"]["lin1"], h[:, :d])
     sender = nn.linear(p["mlp_aggr"]["lin1"], h[:, d:])
-    return gate, sender, e
+    return gate, sender, e, None, None
 
 
 def layer_apply(p, state, x, e, batch: CrystalBatch, cfg: ModelConfig,
@@ -283,8 +283,10 @@ def layer_apply(p, state, x, e, batch: CrystalBatch, cfg: ModelConfig,
 
     halo = batch.halo_send_idx is not None
     # e_res == e, passed through the (possibly fused) edge op so the residual
-    # backward add folds into its de output (ops/pallas/edge_kernels.py)
-    gate, sender, e_res = _dual_edge_mlp(p, x, e, batch, ep_axis)
+    # backward add folds into its de output (ops/pallas/edge_kernels.py);
+    # s1w/m2w are the kernel's per-window BN moment partials (None when the
+    # kernel didn't run)
+    gate, sender, e_res, s1w, m2w = _dual_edge_mlp(p, x, e, batch, ep_axis)
 
     env = None
     if cfg.use_envelope:
@@ -312,11 +314,22 @@ def layer_apply(p, state, x, e, batch: CrystalBatch, cfg: ModelConfig,
             # so the kernel output IS the full aggregate, while the
             # replicated-node ep layout psums partials exactly like the
             # unfused path below.
-            from cartnet_tpu.nn.norm import masked_bn_scale_shift
-            scale, shift, bn_s = masked_bn_scale_shift(
-                p["bn"], state["bn"], gate, batch.edge_mask,
-                training=training, momentum=cfg.bn_momentum, eps=cfg.bn_eps,
-                axis_names=edge_stat_axes)
+            from cartnet_tpu.nn.norm import (
+                bn_scale_shift_from_window_moments, masked_bn_scale_shift)
+            import os as _os
+            if (training and s1w is not None
+                    and _os.environ.get("CARTNET_KBN", "1") == "1"):
+                # moments from the edge kernel's per-window partials —
+                # skips both [E,d] XLA moment read passes per layer
+                scale, shift, bn_s = bn_scale_shift_from_window_moments(
+                    p["bn"], state["bn"], s1w, m2w, batch.edge_mask,
+                    momentum=cfg.bn_momentum, eps=cfg.bn_eps,
+                    axis_names=edge_stat_axes)
+            else:
+                scale, shift, bn_s = masked_bn_scale_shift(
+                    p["bn"], state["bn"], gate, batch.edge_mask,
+                    training=training, momentum=cfg.bn_momentum,
+                    eps=cfg.bn_eps, axis_names=edge_stat_axes)
             env_col = (env[:, None] if env is not None
                        else jnp.ones((E, 1), gate.dtype))
             ids_eff = jnp.where(batch.edge_mask, batch.edge_dst,

@@ -68,6 +68,49 @@ def masked_bn_scale_shift(params, state, x, mask, *, training: bool,
     return scale, shift, new_state
 
 
+def bn_scale_shift_from_window_moments(params, state, s1w, m2w, mask, *,
+                                       momentum: float = 0.1,
+                                       eps: float = 1e-5, axis_names=()):
+    """Train-mode BN scale/shift from per-window Welford partials.
+
+    ``s1w``/``m2w`` [nt, d] are the fused edge kernel's masked per-window
+    partials (sum and centered sumsq of gate); ``mask`` [nt*T] the edge
+    mask. Combines with the exact group-merge formula
+        M2 = sum_w M2_w + sum_w n_w (mean_w - mean)^2
+    (every term non-negative — no cancellation, unlike E[x^2]-mean^2),
+    reproducing masked_bn_scale_shift's mean/var to f32 rounding while
+    skipping both [E, d] moment read passes. Differentiable in s1w/m2w; the
+    kernel's custom VJP folds those cotangents into its dgate. Sync-BN:
+    window partials are member-local under shard_map; both reductions psum
+    over ``axis_names`` exactly like the two-pass path.
+    """
+    nt = s1w.shape[0]
+    n_w = mask.reshape(nt, -1).sum(axis=1, dtype=jnp.float32)[:, None]
+    n = jnp.sum(n_w)
+    s1 = jnp.sum(s1w, axis=0)
+    if axis_names:
+        n = jax.lax.psum(n, axis_names)
+        s1 = jax.lax.psum(s1, axis_names)
+    n = jnp.maximum(n, 1.0)
+    mean = s1 / n
+    mean_w = s1w / jnp.maximum(n_w, 1.0)
+    m2 = jnp.sum(m2w + n_w * jnp.square(mean_w - mean), axis=0)
+    if axis_names:
+        m2 = jax.lax.psum(m2, axis_names)
+    var = m2 / n
+    inv = jnp.reciprocal(jnp.sqrt(var + eps))
+    scale = params["gamma"] * inv
+    shift = params["beta"] - mean * scale
+    sg = jax.lax.stop_gradient
+    unbiased = sg(var) * (n / jnp.maximum(n - 1.0, 1.0))
+    new_state = {
+        "mean": (1.0 - momentum) * state["mean"] + momentum * sg(mean),
+        "var": (1.0 - momentum) * state["var"] + momentum * unbiased,
+        "count": state["count"] + 1,
+    }
+    return scale, shift, new_state
+
+
 def masked_batch_norm(params, state, x, mask, *, training: bool,
                       momentum: float = 0.1, eps: float = 1e-5,
                       axis_names=()):

@@ -133,8 +133,9 @@ def _onehot(ids, lo, c, dtype):
 
 
 def _fwd_kernel(c_src, dlo_ref, slo_ref, nblk_ref, dids_ref, sids_ref,
-                xi_ref, xj_ref, e_ref, we_ref, b_ref, w1g_ref, b1g_ref,
-                w1a_ref, b1a_ref, gate_ref, sender_ref, pre_ref, acc_ref):
+                emask_ref, xi_ref, xj_ref, e_ref, we_ref, b_ref, w1g_ref,
+                b1g_ref, w1a_ref, b1a_ref, gate_ref, sender_ref, pre_ref,
+                s1_ref, m2_ref, acc_ref):
     t = pl.program_id(0)
     d = w1g_ref.shape[0]
     dlo = pl.multiple_of(dlo_ref[t], 8)
@@ -181,11 +182,27 @@ def _fwd_kernel(c_src, dlo_ref, slo_ref, nblk_ref, dids_ref, sids_ref,
     # dots again (~16.5 GF/layer, xprof'd at ~0.1 ms/layer) vs one [T,2d]
     # write+read. bf16 save matches the XLA path's silu-bwd precision.
     pre_ref[...] = pre.astype(pre_ref.dtype)
+    # per-window masked Welford partials of the BN batch moments over the
+    # ROUNDED gate (what downstream consumes): s1_w = sum(m*g),
+    # M2_w = sum(m*(g-mean_w)^2). Combined outside with the exact
+    # group-merge formula (nn/norm.py::bn_scale_shift_from_window_moments)
+    # — replaces the two XLA [E,d] moment read passes per layer AND two
+    # links of the per-layer edge->moments->sigma serialization chain
+    # (PERF_NOTES round-3 session-2 xprof: ~130 us/step of stalls).
+    mf = (emask_ref[t] > 0).astype(jnp.float32)[:, None]      # [T, 1]
+    g32 = gate.astype(gate_ref.dtype).astype(jnp.float32)
+    n_w = jnp.sum(mf)
+    s1 = jnp.sum(g32 * mf, axis=0)                            # [d]
+    mean_w = s1 / jnp.maximum(n_w, 1.0)
+    diff = (g32 - mean_w) * mf
+    s1_ref[...] = s1[None, :]
+    m2_ref[...] = jnp.sum(diff * diff, axis=0)[None, :]
 
 
 def _bwd_kernel(c_src, dlo_ref, slo_ref, nblk_ref, dids_ref, sids_ref,
-                e_ref, we_ref, b_ref, w1g_ref, b1g_ref,
-                w1a_ref, b1a_ref, pre_saved_ref, dgate_ref, dsender_ref,
+                emask_ref, e_ref, we_ref, b_ref, w1g_ref, b1g_ref,
+                w1a_ref, b1a_ref, pre_saved_ref, gate_ref, meanw_ref,
+                ds1_ref, dm2_ref, dgate_ref, dsender_ref,
                 deres_ref, de_ref, dxi_ref, dxj_ref, dwe_ref, db_ref,
                 dw1g_ref, db1g_ref, dw1a_ref, db1a_ref):
     # NB: no xi/xj inputs — the backward never rereads the node tables
@@ -209,7 +226,14 @@ def _bwd_kernel(c_src, dlo_ref, slo_ref, nblk_ref, dids_ref, sids_ref,
     dlo = pl.multiple_of(dlo_ref[t], 8)
     slo = pl.multiple_of(slo_ref[t], 8)
     e_w = e_ref[...]
-    dg = dgate_ref[...].astype(cdt)       # [T, d]
+    # fold the BN-moment cotangents into dgate: the fwd emitted per-window
+    # masked partials s1_w = sum(m*g), M2_w = sum(m*(g-mean_w)^2), so
+    # d gate = dgate_in + m * (ds1_w + 2*dM2_w*(g - mean_w)); the internal
+    # mean_w dependence of M2_w contributes zero (sum of m*(g-mean_w) = 0)
+    mf = (emask_ref[t] > 0).astype(jnp.float32)[:, None]
+    g32 = gate_ref[...].astype(jnp.float32)
+    corr = ds1_ref[...] + 2.0 * dm2_ref[...] * (g32 - meanw_ref[...])
+    dg = (dgate_ref[...].astype(jnp.float32) + mf * corr).astype(cdt)
     ds = dsender_ref[...].astype(cdt)
 
     # the input-only MXU dots are issued before the VPU silu' chain so the
@@ -273,6 +297,7 @@ def _specs(nt, n_i, n_j, e, d, t_win):
     return [
         const((nt, t_win)),   # dst ids
         const((nt, t_win)),   # src ids
+        const((nt, t_win)),   # edge mask (i32; BN moments + moment bwd)
         const((n_i, 2 * d)),  # xi
         const((n_j, 2 * d)),  # xj
         win((t_win, d)),      # e window
@@ -293,7 +318,7 @@ def _prep(xi, xj, dst, src, dst_lo, src_lo):
     return nt, dids, sids
 
 
-def edge_phase_fwd(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src,
+def edge_phase_fwd(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, emask,
                    dst_lo, src_lo, src_nblk=None, c_src: int = C_SRC,
                    interpret: bool = False):
     n_i, d2 = xi.shape
@@ -304,20 +329,21 @@ def edge_phase_fwd(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src,
         src_nblk = jnp.full(E // T_EDGES, c_src // SRC_BLK, jnp.int32)
     # uniform vma: under shard_map the node tables may be replicated over ep
     # while the edge windows vary (ops/pallas/vma.py)
-    vma = vma_union(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src,
+    vma = vma_union(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, emask,
                     dst_lo, src_lo, src_nblk)
     if interpret and vma:
         # sharded CPU-mesh path: Pallas interpret mode cannot type-check
         # under shard_map vma — use the jnp twin (ops/pallas/reference.py)
         from cartnet_tpu.ops.pallas.reference import edge_phase_fwd_ref
         return edge_phase_fwd_ref(xi, xj, e, we, b, w1g, b1g, w1a, b1a,
-                                  dst, src)
-    (xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, dst_lo, src_lo,
+                                  dst, src, emask)
+    (xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, emask, dst_lo, src_lo,
      src_nblk) = (
         pvary_to(a, vma) for a in
-        (xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, dst_lo, src_lo,
-         src_nblk))
+        (xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, emask, dst_lo,
+         src_lo, src_nblk))
     nt, dids, sids = _prep(xi, xj, dst, src, dst_lo, src_lo)
+    em2d = emask.reshape(nt, T_EDGES).astype(jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(nt,),
@@ -325,28 +351,33 @@ def edge_phase_fwd(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src,
         out_specs=[pl.BlockSpec((T_EDGES, d), lambda t, dlo, slo, nb: (t, 0)),
                    pl.BlockSpec((T_EDGES, d), lambda t, dlo, slo, nb: (t, 0)),
                    pl.BlockSpec((T_EDGES, 2 * d),
-                                lambda t, dlo, slo, nb: (t, 0))],
+                                lambda t, dlo, slo, nb: (t, 0)),
+                   pl.BlockSpec((1, d), lambda t, dlo, slo, nb: (t, 0)),
+                   pl.BlockSpec((1, d), lambda t, dlo, slo, nb: (t, 0))],
         scratch_shapes=[pltpu.VMEM((T_EDGES, 2 * d), jnp.float32)],
     )
     flops = 2 * E * (C_DST + c_src) * 2 * d + 2 * E * d * 2 * d * 2
-    gate, sender, pre = pl.pallas_call(
+    gate, sender, pre, s1w, m2w = pl.pallas_call(
         functools.partial(_fwd_kernel, c_src),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((E, d), xi.dtype, vma=vma),
                    jax.ShapeDtypeStruct((E, d), xi.dtype, vma=vma),
-                   jax.ShapeDtypeStruct((E, 2 * d), xi.dtype, vma=vma)],
+                   jax.ShapeDtypeStruct((E, 2 * d), xi.dtype, vma=vma),
+                   jax.ShapeDtypeStruct((nt, d), jnp.float32, vma=vma),
+                   jax.ShapeDtypeStruct((nt, d), jnp.float32, vma=vma)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=E * d * 5 * xi.dtype.itemsize,
             transcendentals=E * 2 * d),
-    )(dst_lo, src_lo, src_nblk, dids, sids, xi, xj, e,
+    )(dst_lo, src_lo, src_nblk, dids, sids, em2d, xi, xj, e,
       we, b.reshape(1, -1), w1g, b1g.reshape(1, -1), w1a, b1a.reshape(1, -1))
-    return gate, sender, pre
+    return gate, sender, pre, s1w, m2w
 
 
 def edge_phase_bwd_call(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src,
-                        dst_lo, src_lo, src_nblk, pre, dgate, dsender, deres,
+                        emask, dst_lo, src_lo, src_nblk, pre, gate, meanw,
+                        ds1w, dm2w, dgate, dsender, deres,
                         c_src: int = C_SRC, interpret: bool = False):
     n_i, d2 = xi.shape
     n_j = xj.shape[0]
@@ -354,30 +385,38 @@ def edge_phase_bwd_call(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src,
     E = e.shape[0]
     if src_nblk is None:
         src_nblk = jnp.full(E // T_EDGES, c_src // SRC_BLK, jnp.int32)
-    vma = vma_union(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src,
-                    dst_lo, src_lo, src_nblk, pre, dgate, dsender, deres)
+    vma = vma_union(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, emask,
+                    dst_lo, src_lo, src_nblk, pre, gate, meanw, ds1w, dm2w,
+                    dgate, dsender, deres)
     if interpret and vma:
         from cartnet_tpu.ops.pallas.reference import edge_phase_bwd_ref
-        return edge_phase_bwd_ref(xi, xj, e, we, w1g, w1a, dst, src, pre,
+        return edge_phase_bwd_ref(xi, xj, e, we, w1g, w1a, dst, src, emask,
+                                  pre, gate, meanw, ds1w, dm2w,
                                   dgate, dsender, deres)
-    (xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, dst_lo, src_lo,
-     src_nblk, pre, dgate, dsender, deres) = (
+    (xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, emask, dst_lo, src_lo,
+     src_nblk, pre, gate, meanw, ds1w, dm2w, dgate, dsender, deres) = (
         pvary_to(a, vma) for a in
-        (xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, dst_lo, src_lo,
-         src_nblk, pre, dgate, dsender, deres))
+        (xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, emask, dst_lo,
+         src_lo, src_nblk, pre, gate, meanw, ds1w, dm2w, dgate, dsender,
+         deres))
     nt, dids, sids = _prep(xi, xj, dst, src, dst_lo, src_lo)
+    em2d = emask.reshape(nt, T_EDGES).astype(jnp.int32)
     win = lambda shape: pl.BlockSpec(shape, lambda t, dlo, slo, nb: (t, 0))
     const = lambda shape: pl.BlockSpec(shape, lambda t, dlo, slo, nb: (0, 0))
     bwd_in = [spec for i, spec in
               enumerate(_specs(nt, n_i, n_j, E, d, T_EDGES))
-              if i not in (2, 3)]  # drop the unused xi/xj node tables
+              if i not in (3, 4)]  # drop the unused xi/xj node tables
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(nt,),
-        in_specs=bwd_in + [win((T_EDGES, 2 * d)),
-                                                 win((T_EDGES, d)),
-                                                 win((T_EDGES, d)),
-                                                 win((T_EDGES, d))],
+        in_specs=bwd_in + [win((T_EDGES, 2 * d)),   # pre
+                           win((T_EDGES, d)),       # gate (rounded)
+                           win((1, d)),             # mean_w
+                           win((1, d)),             # ds1_w
+                           win((1, d)),             # dm2_w
+                           win((T_EDGES, d)),       # dgate
+                           win((T_EDGES, d)),       # dsender
+                           win((T_EDGES, d))],      # deres
         out_specs=[
             win((T_EDGES, d)),        # de
             const((n_i, 2 * d)),      # dxi (f32 accumulator)
@@ -410,48 +449,61 @@ def edge_phase_bwd_call(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src,
             flops=flops,
             bytes_accessed=E * d * 5 * xi.dtype.itemsize,
             transcendentals=E * 2 * d),
-    )(dst_lo, src_lo, src_nblk, dids, sids, e,
+    )(dst_lo, src_lo, src_nblk, dids, sids, em2d, e,
       we, b.reshape(1, -1), w1g, b1g.reshape(1, -1), w1a, b1a.reshape(1, -1),
-      pre, dgate, dsender, deres)
+      pre, gate, meanw.astype(jnp.float32), ds1w.astype(jnp.float32),
+      dm2w.astype(jnp.float32), dgate, dsender, deres)
     return outs
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(14, 15))
-def edge_phase(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, dst_lo,
-               src_lo, src_nblk=None, c_src: int = C_SRC,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(15, 16))
+def edge_phase(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, emask,
+               dst_lo, src_lo, src_nblk=None, c_src: int = C_SRC,
                interpret: bool = False):
-    """Fused gather+MLP edge phase -> (gate, sender, e_res), [E, d] each.
+    """Fused gather+MLP edge phase
+    -> (gate, sender, e_res [E,d], s1_w, M2_w [nt,d]).
 
     e_res is e passed through unchanged (zero cost forward). Route the
     layer's edge residual through it (e_out = e_res + sigma) so that the
     residual's backward add folds into this op's de output instead of a
-    separate XLA [E,d] pass. ``src_nblk`` [nt]: per-window src block count
-    from edge_windows_ok (None -> no skipping). ``c_src`` (static): the src
-    band width this batch's plan was built for (plan_edge_windows) — the
+    separate XLA [E,d] pass. ``s1_w``/``M2_w`` are per-window masked Welford
+    partials of gate's BN batch moments (combine with
+    nn.norm.bn_scale_shift_from_window_moments) — differentiable; their
+    backward is folded into the bwd kernel's dgate. ``emask`` [E] bool: real
+    edges. ``src_nblk`` [nt]: per-window src block count from
+    edge_windows_ok (None -> no skipping). ``c_src`` (static): the src band
+    width this batch's plan was built for (plan_edge_windows) — the
     dominant FLOP term scales with it.
     """
-    gate, sender, _ = edge_phase_fwd(xi, xj, e, we, b, w1g, b1g, w1a, b1a,
-                                     dst, src, dst_lo, src_lo, src_nblk,
-                                     c_src, interpret)
-    return gate, sender, e
+    gate, sender, _, s1w, m2w = edge_phase_fwd(
+        xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, emask,
+        dst_lo, src_lo, src_nblk, c_src, interpret)
+    return gate, sender, e, s1w, m2w
 
 
-def _ep_fwd(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, dst_lo, src_lo,
-            src_nblk, c_src, interpret):
-    gate, sender, pre = edge_phase_fwd(xi, xj, e, we, b, w1g, b1g, w1a, b1a,
-                                       dst, src, dst_lo, src_lo, src_nblk,
-                                       c_src, interpret)
-    return (gate, sender, e), (xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src,
-                               dst_lo, src_lo, src_nblk, pre)
+def _ep_fwd(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, emask, dst_lo,
+            src_lo, src_nblk, c_src, interpret):
+    gate, sender, pre, s1w, m2w = edge_phase_fwd(
+        xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, emask,
+        dst_lo, src_lo, src_nblk, c_src, interpret)
+    return ((gate, sender, e, s1w, m2w),
+            (xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, emask,
+             dst_lo, src_lo, src_nblk, pre, gate, s1w))
 
 
 def _ep_bwd(c_src, interpret, res, cts):
-    (xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, dst_lo, src_lo,
-     src_nblk, pre) = res
-    dgate, dsender, deres = cts
+    (xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, emask, dst_lo, src_lo,
+     src_nblk, pre, gate, s1w) = res
+    dgate, dsender, deres, ds1w, dm2w = cts
+    # mean_w for the M2 cotangent term, recomputed exactly as the combine
+    # does outside (s1_w / n_w)
+    nt = s1w.shape[0]
+    n_w = emask.reshape(nt, -1).sum(axis=1, dtype=jnp.float32)[:, None]
+    meanw = s1w / jnp.maximum(n_w, 1.0)
     (de, dxi, dxj, dwe, db, dw1g, db1g, dw1a, db1a) = edge_phase_bwd_call(
-        xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, dst_lo, src_lo,
-        src_nblk, pre, dgate, dsender, deres, c_src, interpret)
+        xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, emask, dst_lo,
+        src_lo, src_nblk, pre, gate, meanw, ds1w, dm2w,
+        dgate, dsender, deres, c_src, interpret)
     # under shard_map every grad above is a per-member partial accumulated
     # over that member's edge windows; inputs replicated across mesh axes
     # (node tables over ep, weights over everything) need their partials
@@ -467,7 +519,7 @@ def _ep_bwd(c_src, interpret, res, cts):
             dwe.astype(we.dtype), db.reshape(-1).astype(b.dtype),
             dw1g.astype(w1g.dtype), db1g.reshape(-1).astype(b1g.dtype),
             dw1a.astype(w1a.dtype), db1a.reshape(-1).astype(b1a.dtype),
-            f0(dst), f0(src), f0(dst_lo), f0(src_lo),
+            f0(dst), f0(src), f0(emask), f0(dst_lo), f0(src_lo),
             None if src_nblk is None else f0(src_nblk))
 
 

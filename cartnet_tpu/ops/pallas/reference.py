@@ -77,7 +77,24 @@ def sigma_bwd_ref(gate, scale, shift, env, sender, ids_eff, deout, daggr,
 
 # ---------------------------------------------------------------- edge phase
 
-def edge_phase_fwd_ref(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src):
+def window_moments_ref(gate, emask):
+    """jnp twin of the fwd kernel's per-window masked Welford partials
+    (moments of the ROUNDED gate, f32 accumulation)."""
+    from cartnet_tpu.ops.pallas.edge_kernels import T_EDGES
+    e = gate.shape[0]
+    nt = e // T_EDGES
+    g = gate.astype(jnp.float32).reshape(nt, T_EDGES, -1)
+    mf = emask.reshape(nt, T_EDGES, 1).astype(jnp.float32)
+    n_w = jnp.sum(mf, axis=1)                               # [nt, 1]
+    s1 = jnp.sum(g * mf, axis=1)                            # [nt, d]
+    mean_w = s1 / jnp.maximum(n_w, 1.0)
+    diff = (g - mean_w[:, None, :]) * mf
+    m2 = jnp.sum(diff * diff, axis=1)
+    return s1, m2
+
+
+def edge_phase_fwd_ref(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src,
+                       emask):
     """jnp twin of _fwd_kernel. Pad edges whose endpoint falls outside the
     kernel's band get zero gathers there but real gathers here — those rows
     are masked from every loss path, so values and grads agree where it
@@ -93,18 +110,29 @@ def edge_phase_fwd_ref(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src):
                    preferred_element_type=jnp.float32) + b1g.astype(jnp.float32)
     sender = jnp.dot(h[:, d:], w1a,
                      preferred_element_type=jnp.float32) + b1a.astype(jnp.float32)
-    return gate.astype(cdt), sender.astype(cdt), pre.astype(cdt)
+    gate_c = gate.astype(cdt)
+    s1, m2 = window_moments_ref(gate_c, emask)
+    return gate_c, sender.astype(cdt), pre.astype(cdt), s1, m2
 
 
-def edge_phase_bwd_ref(xi, xj, e, we, w1g, w1a, dst, src, pre_saved,
-                       dgate, dsender, deres):
+def edge_phase_bwd_ref(xi, xj, e, we, w1g, w1a, dst, src, emask, pre_saved,
+                       gate, meanw, ds1w, dm2w, dgate, dsender, deres):
     """jnp twin of _bwd_kernel (f32 accumulators, cdt matmul operands)."""
+    from cartnet_tpu.ops.pallas.edge_kernels import T_EDGES
     cdt = xi.dtype
     d = w1g.shape[0]
     n_i, n_j = xi.shape[0], xj.shape[0]
     pre = pre_saved.astype(jnp.float32)
     h = jax.nn.silu(pre).astype(cdt)
-    dg = dgate.astype(cdt)
+    # fold the window-moment cotangents into dgate (see _bwd_kernel)
+    nt = ds1w.shape[0]
+    mf = emask.reshape(nt, T_EDGES, 1).astype(jnp.float32)
+    g32 = gate.astype(jnp.float32).reshape(nt, T_EDGES, -1)
+    corr = (ds1w.astype(jnp.float32)[:, None, :]
+            + 2.0 * dm2w.astype(jnp.float32)[:, None, :]
+            * (g32 - meanw.astype(jnp.float32)[:, None, :]))
+    dg32 = dgate.astype(jnp.float32).reshape(nt, T_EDGES, -1) + mf * corr
+    dg = dg32.reshape(gate.shape).astype(cdt)
     ds = dsender.astype(cdt)
     db1g = jnp.sum(dg, axis=0, dtype=jnp.float32)
     db1a = jnp.sum(ds, axis=0, dtype=jnp.float32)

@@ -54,10 +54,10 @@ def _ref(a, dst, src):
 def test_forward_matches_reference(setup):
     a, dst, src, dst_lo, src_lo, src_nblk, mask = setup
     assert int(np.asarray(src_nblk).max()) >= 1  # block plan is real
-    gate_k, sender_k, e_res = edge_phase(
+    gate_k, sender_k, e_res, _, _ = edge_phase(
         a["xi"], a["xj"], a["e"], a["we"], a["b"],
         a["w1g"], a["b1g"], a["w1a"], a["b1a"],
-        dst, src, dst_lo, src_lo, src_nblk, interpret=True)
+        dst, src, mask, dst_lo, src_lo, src_nblk, interpret=True)
     gate_r, sender_r = _ref(a, dst, src)
     m = np.asarray(mask)
     np.testing.assert_array_equal(np.asarray(e_res), np.asarray(a["e"]))
@@ -78,9 +78,10 @@ def test_custom_vjp_matches_reference_grads(setup):
 
     def loss_kernel(*vals):
         aa = dict(zip(names, vals))
-        g, s, er = edge_phase(aa["xi"], aa["xj"], aa["e"], aa["we"], aa["b"],
-                              aa["w1g"], aa["b1g"], aa["w1a"], aa["b1a"],
-                              dst, src, dst_lo, src_lo, src_nblk, interpret=True)
+        g, s, er, _, _ = edge_phase(
+            aa["xi"], aa["xj"], aa["e"], aa["we"], aa["b"],
+            aa["w1g"], aa["b1g"], aa["w1a"], aa["b1a"],
+            dst, src, mask, dst_lo, src_lo, src_nblk, interpret=True)
         # the e_res cotangent exercises the fused de accumulation in the bwd
         # kernel (residual add folded into de)
         return jnp.sum(g * cg) + jnp.sum(s * cs) + jnp.sum(er * ce)
@@ -224,13 +225,73 @@ def test_upgrade_src_band_reclamps_soundly():
     args = [mk(ks[0], n, 2 * D), mk(ks[1], n, 2 * D), mk(ks[2], E, D),
             mk(ks[3], D, 2 * D), mk(ks[4], 2 * D), mk(ks[5], D, D),
             mk(ks[6], D), mk(ks[7], D, D), mk(ks[8], D)]
-    g1, s1, _ = edge_phase_fwd(*args, jnp.asarray(dst), jnp.asarray(src),
-                               b.edge_dst_lo, b.edge_src_lo, b.edge_src_nblk,
-                               c_src=b.src_band, interpret=True)
-    g2, s2, _ = edge_phase_fwd(*args, jnp.asarray(dst), jnp.asarray(src),
-                               up.edge_dst_lo, up.edge_src_lo,
-                               up.edge_src_nblk, c_src=384, interpret=True)
+    em = jnp.asarray(mask)
+    g1, s1, _, _, _ = edge_phase_fwd(*args, jnp.asarray(dst),
+                                     jnp.asarray(src), em,
+                                     b.edge_dst_lo, b.edge_src_lo,
+                                     b.edge_src_nblk,
+                                     c_src=b.src_band, interpret=True)
+    g2, s2, _, _, _ = edge_phase_fwd(*args, jnp.asarray(dst),
+                                     jnp.asarray(src), em,
+                                     up.edge_dst_lo, up.edge_src_lo,
+                                     up.edge_src_nblk, c_src=384,
+                                     interpret=True)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_window_moments_and_their_grads(setup):
+    """Kernel-emitted Welford partials == direct masked window moments of
+    the gate, and their cotangents flow back into every input correctly
+    (the bwd kernel's dgate folding)."""
+    a, dst, src, dst_lo, src_lo, src_nblk, mask = setup
+    names = list(a.keys())
+
+    def moments_kernel(*vals):
+        aa = dict(zip(names, vals))
+        _, _, _, s1w, m2w = edge_phase(
+            aa["xi"], aa["xj"], aa["e"], aa["we"], aa["b"],
+            aa["w1g"], aa["b1g"], aa["w1a"], aa["b1a"],
+            dst, src, mask, dst_lo, src_lo, src_nblk, interpret=True)
+        return s1w, m2w
+
+    def moments_ref(*vals):
+        aa = dict(zip(names, vals))
+        g, _ = _ref(aa, dst, src)
+        nt = g.shape[0] // T_EDGES
+        gw = g.reshape(nt, T_EDGES, -1)
+        mf = mask.reshape(nt, T_EDGES, 1).astype(g.dtype)
+        n_w = jnp.sum(mf, axis=1)
+        s1 = jnp.sum(gw * mf, axis=1)
+        mean_w = s1 / jnp.maximum(n_w, 1.0)
+        m2 = jnp.sum(jnp.square((gw - mean_w[:, None, :]) * mf), axis=1)
+        return s1, m2
+
+    vals = [a[k] for k in names]
+    s1k, m2k = moments_kernel(*vals)
+    s1r, m2r = moments_ref(*vals)
+    np.testing.assert_allclose(np.asarray(s1k), np.asarray(s1r),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(m2k), np.asarray(m2r),
+                               rtol=1e-4, atol=1e-3)
+
+    # gradients of a scalar touching BOTH moment outputs
+    key = jax.random.key(3)
+    c1 = jax.random.normal(key, s1k.shape)
+    c2 = jax.random.normal(jax.random.split(key)[1], m2k.shape)
+
+    def loss_k(*vals):
+        s1, m2 = moments_kernel(*vals)
+        return jnp.sum(s1 * c1) + jnp.sum(m2 * c2)
+
+    def loss_r(*vals):
+        s1, m2 = moments_ref(*vals)
+        return jnp.sum(s1 * c1) + jnp.sum(m2 * c2)
+
+    gk = jax.grad(loss_k, argnums=tuple(range(len(vals))))(*vals)
+    gr = jax.grad(loss_r, argnums=tuple(range(len(vals))))(*vals)
+    for name, k_, r_ in zip(names, gk, gr):
+        np.testing.assert_allclose(np.asarray(k_), np.asarray(r_),
+                                   rtol=3e-4, atol=3e-4, err_msg=name)

@@ -173,13 +173,18 @@ def test_kernel_vs_jnp_twin_single_device():
     ok, dlo, slo, nblk = ek.edge_windows_ok(np.asarray(dst),
                                             np.asarray(src), mask, n)
     assert ok
-    g_k, s_k, _ = ek.edge_phase_fwd(xi, xj, e, we, b, w1g, b1g, w1a, b1a,
-                                    dst, src, jnp.asarray(dlo),
-                                    jnp.asarray(slo), jnp.asarray(nblk),
-                                    interpret=True)
-    g_r, s_r, _ = ref.edge_phase_fwd_ref(xi, xj, e, we, b, w1g, b1g, w1a,
-                                         b1a, dst, src)
+    emask = jnp.asarray(mask)
+    g_k, s_k, _, s1_k, m2_k = ek.edge_phase_fwd(
+        xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, emask,
+        jnp.asarray(dlo), jnp.asarray(slo), jnp.asarray(nblk),
+        interpret=True)
+    g_r, s_r, _, s1_r, m2_r = ref.edge_phase_fwd_ref(
+        xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, emask)
     np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_r),
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(s_k), np.asarray(s_r),
                                rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(s1_k), np.asarray(s1_r),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(m2_k), np.asarray(m2_r),
+                               rtol=1e-4, atol=1e-3)
