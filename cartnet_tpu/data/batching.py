@@ -15,6 +15,8 @@ import numpy as np
 
 from cartnet_tpu.data.schema import CrystalBatch
 
+_WARNED_NO_SCIPY = False
+
 
 class GraphRecord(dict):
     """Host-side per-structure record.
@@ -53,9 +55,22 @@ def bandwidth_reorder(record: dict) -> dict:
     dst = np.asarray(record["edge_dst"])
     if n < 16 or len(src) == 0:
         return record
-    import scipy.sparse as sp
-    from scipy.sparse.csgraph import reverse_cuthill_mckee
-    a = sp.coo_matrix((np.ones(len(src), np.int8), (dst, src)),
+    try:
+        import scipy.sparse as sp
+        from scipy.sparse.csgraph import reverse_cuthill_mckee
+    except ImportError:
+        # RCM is a perf optimization (narrower kernel src band), not a
+        # correctness requirement — run without it when scipy is absent
+        global _WARNED_NO_SCIPY
+        if not _WARNED_NO_SCIPY:
+            _WARNED_NO_SCIPY = True
+            import warnings
+            warnings.warn("scipy not installed: skipping RCM atom relabeling "
+                          "(fused edge kernel may pick a wider src band)")
+        return record
+    # bool data: RCM only consults sparsity structure, and PBC graphs can
+    # carry >127 parallel edges per atom pair (int8 sum would wrap)
+    a = sp.coo_matrix((np.ones(len(src), bool), (dst, src)),
                       shape=(n, n)).tocsr()
     perm = np.asarray(reverse_cuthill_mckee(a, symmetric_mode=False),
                       np.int64)
@@ -65,7 +80,7 @@ def bandwidth_reorder(record: dict) -> dict:
     out["z"] = np.asarray(record["z"])[perm]
     out["pos"] = np.asarray(record["pos"])[perm]
     y = np.asarray(record["y"])
-    if y.ndim == 3:  # per-atom ADP targets ride with their atom
+    if y.ndim >= 1 and y.shape[0] == n:  # per-atom targets ride with their atom
         out["y"] = y[perm]
     out["edge_src"] = inv[src]
     out["edge_dst"] = inv[dst]

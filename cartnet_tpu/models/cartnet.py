@@ -64,17 +64,15 @@ def encoder_apply(p, batch: CrystalBatch, cfg: ModelConfig):
     # embedding + per-graph gathers as one-hot MXU matmuls: bit-exact with
     # jnp.take, but the backward becomes a dense matmul instead of the
     # ~19 us/step serial scatter XLA emits for take's VJP (nn.core)
-    graph_oh = (batch.graph_id[:, None] == jnp.arange(
-        batch.num_graphs, dtype=batch.graph_id.dtype)[None, :]).astype(dt)
     if cfg.use_temperature and cfg.use_atom_types:
         t = nn.linear(p["temp_proj"], batch.temperature[:, None].astype(dt))
         x = (nn.embedding_onehot(p["embedding"], batch.z, dt)
-             + jnp.dot(graph_oh, t, preferred_element_type=dt))
+             + nn.gather_rows_onehot(t, batch.graph_id, batch.num_graphs, dt))
     elif cfg.use_atom_types:
         x = nn.embedding_onehot(p["embedding"], batch.z, dt) + p["bias"]
     elif cfg.use_temperature:
         t = nn.linear(p["temp_proj"], batch.temperature[:, None].astype(dt))
-        x = jnp.dot(graph_oh, t, preferred_element_type=dt)
+        x = nn.gather_rows_onehot(t, batch.graph_id, batch.num_graphs, dt)
     else:
         x = jnp.broadcast_to(p["embedding"]["w"][0].astype(dt),
                              (batch.num_nodes, cfg.dim_in))
@@ -100,39 +98,23 @@ _FORCE_SIGMA_INTERPRET = False
 
 def kernels_active(batch: CrystalBatch, dim: int, itemsize: int = 2,
                    dp: int = 1, ep: int = 1) -> bool:
-    """Host-side mirror of the layer kernel gates, for observability: True
-    when THIS batch will actually run the fused Pallas paths (plan flags AND
-    the runtime shape/VMEM gates — a big batch can silently fall back even
-    with valid plans, which is exactly what fused_fraction must expose).
-    ``dp``/``ep``: the mesh a stacked super-batch is sharded over (the gates
-    apply to the PER-DEVICE shard sizes)."""
+    """What the fused Pallas paths will actually do for THIS batch, for the
+    ``fused_fraction`` stat: True when BOTH kernel families run (plan flags
+    AND the shape/VMEM gates AND the env/platform gates). Shares the exact
+    predicates the dispatch sites use (ops/dispatch.py) — no mirror to
+    drift. ``dp``/``ep``: the mesh a stacked super-batch is sharded over
+    (the gates apply to the PER-DEVICE shard sizes)."""
+    from cartnet_tpu.ops import dispatch
     if not (batch.edge_fuse_ok and batch.pallas_seg_ok):
         return False
     if dim <= 0:
         return True  # width unknown (logger not configured): flags only
-    from cartnet_tpu.ops.pallas.edge_kernels import edge_fuse_shapes_ok
-    from cartnet_tpu.ops.pallas.segment_kernels import pallas_shapes_ok
-    n_src = None
-    if getattr(batch.z, "ndim", 1) == 2:       # chunked [K, n_per]
-        n = batch.z.shape[1]
-        e = batch.edge_src.shape[1]
-        if batch.halo_send_idx is not None:
-            n_src = n + (batch.halo_send_idx.shape[-2]
-                         * batch.halo_send_idx.shape[-1])
-    elif batch.halo_send_idx is not None:      # flat halo (member-major)
-        members = batch.halo_send_idx.shape[0]
-        n = batch.z.shape[0] // max(members, 1)
-        e = batch.edge_src.shape[0] // max(members, 1)
-        n_src = n + (batch.halo_send_idx.shape[-2]
-                     * batch.halo_send_idx.shape[-1])
-    else:
-        # non-halo: nodes split over dp (replicated over ep), edges over both
-        n = batch.num_nodes // max(dp, 1)
-        e = batch.num_edges // max(dp * ep, 1)
-    return bool(edge_fuse_shapes_ok(e, n, dim, itemsize,
-                                    num_src_nodes=n_src,
-                                    c_src=batch.src_band)
-                and pallas_shapes_ok(e, dim, n))
+    e, n, n_src = dispatch.shard_shapes(batch, dp, ep)
+    return (dispatch.edge_fuse_active(e, n, dim, itemsize, n_src,
+                                      batch.src_band,
+                                      plans=batch.edge_dst_lo is not None)
+            and dispatch.sigma_active(e, dim, n,
+                                      interpret_ok=_FORCE_SIGMA_INTERPRET))
 
 
 def layer_init(key, cfg: ModelConfig):
@@ -192,29 +174,27 @@ def _dual_edge_mlp(p, x, e, batch: CrystalBatch,
         n_per = x.shape[0]
         # dst is member-local (< n_per): project only the local rows for xi
         xi = jnp.dot(x, wi, preferred_element_type=x.dtype)
-        import os
-        if (batch.edge_fuse_ok and batch.edge_dst_lo is not None
-                and os.environ.get("CARTNET_EDGE_FUSE", "1") == "1"):
+        from cartnet_tpu.ops import dispatch
+        n_table = n_per + recv_rows.shape[0]
+        if dispatch.edge_fuse_active(
+                batch.num_edges, n_per, d, x.dtype.itemsize, n_table,
+                batch.src_band,
+                plans=batch.edge_fuse_ok and batch.edge_dst_lo is not None):
             from cartnet_tpu.ops.pallas import edge_kernels as ek
             from cartnet_tpu.ops.pallas.segment_kernels import on_tpu
-            n_table = n_per + recv_rows.shape[0]
-            if ek.edge_fuse_shapes_ok(batch.num_edges, n_per, d,
-                                      x.dtype.itemsize,
-                                      num_src_nodes=n_table,
-                                      c_src=batch.src_band):
-                # member-local fused window kernel over the halo table
-                # (plans from parallel/halo.py::to_halo). The kernel consumes
-                # the whole table, so this path trades overlap for the much
-                # larger fused-gather win.
-                table = jnp.concatenate([x, recv_rows], axis=0)
-                xj = jnp.dot(table, wj, preferred_element_type=x.dtype)
-                return ek.edge_phase(
-                    xi, xj, e, we, b,
-                    p["mlp_gate"]["lin1"]["w"], p["mlp_gate"]["lin1"]["b"],
-                    p["mlp_aggr"]["lin1"]["w"], p["mlp_aggr"]["lin1"]["b"],
-                    batch.edge_dst, batch.edge_src, batch.edge_mask,
-                    batch.edge_dst_lo, batch.edge_src_lo,
-                    batch.edge_src_nblk, batch.src_band, not on_tpu())
+            # member-local fused window kernel over the halo table
+            # (plans from parallel/halo.py::to_halo). The kernel consumes
+            # the whole table, so this path trades overlap for the much
+            # larger fused-gather win.
+            table = jnp.concatenate([x, recv_rows], axis=0)
+            xj = jnp.dot(table, wj, preferred_element_type=x.dtype)
+            return ek.edge_phase(
+                xi, xj, e, we, b,
+                p["mlp_gate"]["lin1"]["w"], p["mlp_gate"]["lin1"]["b"],
+                p["mlp_aggr"]["lin1"]["w"], p["mlp_aggr"]["lin1"]["b"],
+                batch.edge_dst, batch.edge_src, batch.edge_mask,
+                batch.edge_dst_lo, batch.edge_src_lo,
+                batch.edge_src_nblk, batch.src_band, not on_tpu())
         # overlap path: interior (src-local) gathers + xi/xj projections run
         # while the exchange flies; only the boundary select waits on recv
         xj_loc = jnp.dot(x, wj, preferred_element_type=x.dtype)
@@ -228,23 +208,22 @@ def _dual_edge_mlp(p, x, e, batch: CrystalBatch,
     else:
         xi = jnp.dot(x, wi, preferred_element_type=x.dtype)      # [N, 2d]
         xj = jnp.dot(x, wj, preferred_element_type=x.dtype)
-        import os
-        if (batch.edge_fuse_ok and batch.edge_dst_lo is not None
-                and os.environ.get("CARTNET_EDGE_FUSE", "1") == "1"):
+        from cartnet_tpu.ops import dispatch
+        if dispatch.edge_fuse_active(
+                batch.num_edges, batch.num_nodes, d, x.dtype.itemsize,
+                c_src=batch.src_band,
+                plans=batch.edge_fuse_ok and batch.edge_dst_lo is not None):
             from cartnet_tpu.ops.pallas import edge_kernels as ek
             from cartnet_tpu.ops.pallas.segment_kernels import on_tpu
-            if ek.edge_fuse_shapes_ok(batch.num_edges, batch.num_nodes, d,
-                                      x.dtype.itemsize,
-                                      c_src=batch.src_band):
-                # fused window kernel: gathers + e@We + silu + both lin1
-                # GEMMs, no [E,2d] HBM round trips (PERF_NOTES.md)
-                return ek.edge_phase(
-                    xi, xj, e, we, b,
-                    p["mlp_gate"]["lin1"]["w"], p["mlp_gate"]["lin1"]["b"],
-                    p["mlp_aggr"]["lin1"]["w"], p["mlp_aggr"]["lin1"]["b"],
-                    batch.edge_dst, batch.edge_src, batch.edge_mask,
-                    batch.edge_dst_lo, batch.edge_src_lo,
-                    batch.edge_src_nblk, batch.src_band, not on_tpu())
+            # fused window kernel: gathers + e@We + silu + both lin1
+            # GEMMs, no [E,2d] HBM round trips (PERF_NOTES.md)
+            return ek.edge_phase(
+                xi, xj, e, we, b,
+                p["mlp_gate"]["lin1"]["w"], p["mlp_gate"]["lin1"]["b"],
+                p["mlp_aggr"]["lin1"]["w"], p["mlp_aggr"]["lin1"]["b"],
+                batch.edge_dst, batch.edge_src, batch.edge_mask,
+                batch.edge_dst_lo, batch.edge_src_lo,
+                batch.edge_src_nblk, batch.src_band, not on_tpu())
         if batch.edge_src_perm is None:
             # shard_map path: no batch-global permutation; plain gathers (the
             # custom-vjp collective-typing doesn't compose with vma tracking).
@@ -296,12 +275,13 @@ def layer_apply(p, state, x, e, batch: CrystalBatch, cfg: ModelConfig,
 
     sigma_fused = False
     if batch.pallas_seg_ok:
+        from cartnet_tpu.ops import dispatch
         from cartnet_tpu.ops.pallas.segment_kernels import (
-            C_WINDOW, on_tpu, pallas_shapes_ok, sigma_segsum)
+            C_WINDOW, on_tpu, sigma_segsum)
         from cartnet_tpu.ops.pallas.edge_kernels import C_DST, T_EDGES
         E, N, d = batch.num_edges, batch.num_nodes, gate.shape[-1]
-        if (pallas_shapes_ok(E, d, N)
-                and (on_tpu() or _FORCE_SIGMA_INTERPRET)):
+        if dispatch.sigma_active(E, d, N,
+                                 interpret_ok=_FORCE_SIGMA_INTERPRET):
             # fused BN-normalize + sigmoid + envelope + x sender + edge
             # residual + windowed scatter: one Pallas pass instead of ~4
             # [E,d] HBM round trips (PERF_NOTES.md). BN batch moments stay

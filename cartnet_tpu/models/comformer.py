@@ -198,10 +198,8 @@ def ecomformer_apply(params, state, batch: CrystalBatch, cfg: ModelConfig,
     t = nn.linear(params["temp_proj"], batch.temperature[:, None].astype(dt))
     # one-hot MXU lookup/gather: take's VJP is a serial scatter (see
     # nn.embedding_onehot / PERF_NOTES round-3 xprof)
-    graph_oh = (batch.graph_id[:, None] == jnp.arange(
-        batch.num_graphs, dtype=batch.graph_id.dtype)[None, :]).astype(dt)
     x = (nn.embedding_onehot(params["embedding"], batch.z, dt)
-         + jnp.dot(graph_oh, t, preferred_element_type=dt))
+         + nn.gather_rows_onehot(t, batch.graph_id, batch.num_graphs, dt))
     efeat = -0.75 / jnp.maximum(batch.cart_dist.astype(dt), 1e-6)
     e = _rbf_head_apply(params["rbf"], efeat, params["rbf_centers"],
                         params["rbf_gamma"])
@@ -253,10 +251,8 @@ def icomformer_apply(params, state, batch: CrystalBatch, cfg: ModelConfig,
     t = nn.linear(params["temp_proj"], batch.temperature[:, None].astype(dt))
     # one-hot MXU lookup/gather: take's VJP is a serial scatter (see
     # nn.embedding_onehot / PERF_NOTES round-3 xprof)
-    graph_oh = (batch.graph_id[:, None] == jnp.arange(
-        batch.num_graphs, dtype=batch.graph_id.dtype)[None, :]).astype(dt)
     x = (nn.embedding_onehot(params["embedding"], batch.z, dt)
-         + jnp.dot(graph_oh, t, preferred_element_type=dt))
+         + nn.gather_rows_onehot(t, batch.graph_id, batch.num_graphs, dt))
 
     dist = jnp.maximum(batch.cart_dist.astype(dt), 1e-6)
     efeat = -0.75 / dist

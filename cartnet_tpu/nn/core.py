@@ -65,8 +65,19 @@ def embedding_onehot(params, idx, dtype):
     ~19 us/step vs sub-us on the MXU at flagship shapes (PERF_NOTES).
     Use on hot per-step paths with SMALL tables (cost scales with rows)."""
     w = params["w"].astype(dtype)
-    oh = (idx[:, None] == jnp.arange(w.shape[0], dtype=idx.dtype)[None, :])
-    return jnp.dot(oh.astype(dtype), w, preferred_element_type=dtype)
+    return gather_rows_onehot(w, idx, w.shape[0], dtype)
+
+
+def gather_rows_onehot(values, ids, num_rows: int, dtype):
+    """``values[ids]`` as a one-hot MXU matmul (exact row copies).
+
+    Same rationale as ``embedding_onehot``: the dense one-hot dot makes the
+    backward an MXU matmul instead of XLA's serial scatter VJP for take.
+    Only worth it for SMALL tables (cost scales with num_rows) — e.g.
+    per-graph rows gathered by graph_id."""
+    oh = (ids[:, None] == jnp.arange(num_rows, dtype=ids.dtype)[None, :])
+    return jnp.dot(oh.astype(dtype), values.astype(dtype),
+                   preferred_element_type=dtype)
 
 
 def mlp_init(key, dims: Sequence[int], bias: bool = True, dtype=jnp.float32):

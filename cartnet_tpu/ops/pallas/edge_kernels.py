@@ -146,7 +146,6 @@ def _fwd_kernel(c_src, dlo_ref, slo_ref, nblk_ref, dids_ref, sids_ref,
                  preferred_element_type=jnp.float32)
     e_w = e_ref[...]                                      # [T, d]
     ew = jnp.dot(e_w, we_ref[...], preferred_element_type=jnp.float32)
-    import os
     sids = sids_ref[t]
     # default: one unconditional C_SRC-wide one-hot dot in registers. The
     # per-block pl.when skip (CARTNET_SRC_SKIP=1) saves ~25% of the one-hot
@@ -155,7 +154,7 @@ def _fwd_kernel(c_src, dlo_ref, slo_ref, nblk_ref, dids_ref, sids_ref,
     # 2026-08-21: 6.41M vs 6.12M edges/s), while the BACKWARD dxj block skip
     # below is pure win (no scratch). Keep the fwd skip behind the env flag
     # for shapes where nblk is mostly 1.
-    if os.environ.get("CARTNET_SRC_SKIP", "0") == "1":
+    if _os.environ.get("CARTNET_SRC_SKIP", "0") == "1":
         acc_ref[...] = gi + ew + b_ref[...].astype(jnp.float32)
         for k in range(c_src // SRC_BLK):
             @pl.when(nblk_ref[t] > k)
@@ -195,8 +194,10 @@ def _fwd_kernel(c_src, dlo_ref, slo_ref, nblk_ref, dids_ref, sids_ref,
     s1 = jnp.sum(g32 * mf, axis=0)                            # [d]
     mean_w = s1 / jnp.maximum(n_w, 1.0)
     diff = (g32 - mean_w) * mf
-    s1_ref[...] = s1[None, :]
-    m2_ref[...] = jnp.sum(diff * diff, axis=0)[None, :]
+    # whole-(nt,d) output blocks (a (1,d) block over (nt,d) is Mosaic-illegal
+    # when nt % 8 != 0); each window writes exactly its own row
+    s1_ref[pl.ds(t, 1), :] = s1[None, :]
+    m2_ref[pl.ds(t, 1), :] = jnp.sum(diff * diff, axis=0)[None, :]
 
 
 def _bwd_kernel(c_src, dlo_ref, slo_ref, nblk_ref, dids_ref, sids_ref,
@@ -232,7 +233,10 @@ def _bwd_kernel(c_src, dlo_ref, slo_ref, nblk_ref, dids_ref, sids_ref,
     # mean_w dependence of M2_w contributes zero (sum of m*(g-mean_w) = 0)
     mf = (emask_ref[t] > 0).astype(jnp.float32)[:, None]
     g32 = gate_ref[...].astype(jnp.float32)
-    corr = ds1_ref[...] + 2.0 * dm2_ref[...] * (g32 - meanw_ref[...])
+    # moment arrays arrive as whole (nt, d) blocks (see fwd); read row t
+    corr = (ds1_ref[pl.ds(t, 1), :]
+            + 2.0 * dm2_ref[pl.ds(t, 1), :]
+            * (g32 - meanw_ref[pl.ds(t, 1), :]))
     dg = (dgate_ref[...].astype(jnp.float32) + mf * corr).astype(cdt)
     ds = dsender_ref[...].astype(cdt)
 
@@ -352,8 +356,8 @@ def edge_phase_fwd(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, emask,
                    pl.BlockSpec((T_EDGES, d), lambda t, dlo, slo, nb: (t, 0)),
                    pl.BlockSpec((T_EDGES, 2 * d),
                                 lambda t, dlo, slo, nb: (t, 0)),
-                   pl.BlockSpec((1, d), lambda t, dlo, slo, nb: (t, 0)),
-                   pl.BlockSpec((1, d), lambda t, dlo, slo, nb: (t, 0))],
+                   pl.BlockSpec((nt, d), lambda t, dlo, slo, nb: (0, 0)),
+                   pl.BlockSpec((nt, d), lambda t, dlo, slo, nb: (0, 0))],
         scratch_shapes=[pltpu.VMEM((T_EDGES, 2 * d), jnp.float32)],
     )
     flops = 2 * E * (C_DST + c_src) * 2 * d + 2 * E * d * 2 * d * 2
@@ -411,9 +415,9 @@ def edge_phase_bwd_call(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src,
         grid=(nt,),
         in_specs=bwd_in + [win((T_EDGES, 2 * d)),   # pre
                            win((T_EDGES, d)),       # gate (rounded)
-                           win((1, d)),             # mean_w
-                           win((1, d)),             # ds1_w
-                           win((1, d)),             # dm2_w
+                           const((nt, d)),          # mean_w (whole array)
+                           const((nt, d)),          # ds1_w
+                           const((nt, d)),          # dm2_w
                            win((T_EDGES, d)),       # dgate
                            win((T_EDGES, d)),       # dsender
                            win((T_EDGES, d))],      # deres

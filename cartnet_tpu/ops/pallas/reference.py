@@ -137,14 +137,14 @@ def edge_phase_bwd_ref(xi, xj, e, we, w1g, w1a, dst, src, emask, pre_saved,
     db1g = jnp.sum(dg, axis=0, dtype=jnp.float32)
     db1a = jnp.sum(ds, axis=0, dtype=jnp.float32)
     tt = (((0,), (0,)), ((), ()))
-    nt = (((1,), (1,)), ((), ()))
+    nt_dims = (((1,), (1,)), ((), ()))  # distinct name: nt above is the window count
     dw1g = jax.lax.dot_general(h[:, :d], dg, tt,
                                preferred_element_type=jnp.float32)
     dw1a = jax.lax.dot_general(h[:, d:], ds, tt,
                                preferred_element_type=jnp.float32)
-    dh_g = jax.lax.dot_general(dg, w1g, nt,
+    dh_g = jax.lax.dot_general(dg, w1g, nt_dims,
                                preferred_element_type=jnp.float32)
-    dh_a = jax.lax.dot_general(ds, w1a, nt,
+    dh_a = jax.lax.dot_general(ds, w1a, nt_dims,
                                preferred_element_type=jnp.float32)
     dh = jnp.concatenate([dh_g, dh_a], axis=1)
     sig = jax.nn.sigmoid(pre)
@@ -152,7 +152,7 @@ def edge_phase_bwd_ref(xi, xj, e, we, w1g, w1a, dst, src, emask, pre_saved,
     dpre_c = dpre.astype(cdt)
     db = jnp.sum(dpre, axis=0)
     de = (deres.astype(jnp.float32) + jax.lax.dot_general(
-        dpre_c, we, nt, preferred_element_type=jnp.float32)).astype(e.dtype)
+        dpre_c, we, nt_dims, preferred_element_type=jnp.float32)).astype(e.dtype)
     dwe = jax.lax.dot_general(e, dpre_c, tt,
                               preferred_element_type=jnp.float32)
     dpre32 = dpre_c.astype(jnp.float32)
