@@ -19,10 +19,14 @@ Run BEFORE any end-of-round commit that touches kernel/model/step code:
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 import numpy as np
+
+# runnable from any cwd (sys.path[0] is scripts/)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
