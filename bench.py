@@ -1,21 +1,30 @@
 """Benchmark: CartNet training-step throughput in edges/sec/chip.
 
 ADP-scale workload (avg 194 atoms/crystal, radius 5.0 — reference README.md:95)
-on the flagship config (dim 256, rbf 64, 4 layers, Cholesky head, batch 4 like
-scripts/train_cartnet_adp.sh). Padding is right-sized to the workload (~4%
-waste) — static shapes, one compilation.
+on the flagship config: dim 256, rbf 64, 4 layers, Cholesky head, batch 4 x
+batch_accumulation 16 — the exact reference ADP cadence
+(/root/reference/scripts/train_cartnet_adp.sh: optimizer steps every 16
+micro-batches). Padding is right-sized to the workload (~4% waste) — static
+shapes, one compilation.
 
 The reference publishes no throughput numbers (SURVEY.md §6), so vs_baseline
 compares against a speed-of-light roofline for the step's GEMM work:
 per layer fwd, 2 edge-level [E,2d]-wide MLP GEMM pairs + node projections;
 backward ~2x forward; at the chip's matmul peak.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}. The value
+is the MEDIAN of 3 timed rounds (tunnel dispatch variance is ±4%;
+median-of-3 keeps the captured number robust — VERDICT r3 next #3).
+
+CARTNET_BENCH_MODEL=ecomformer|icomformer benches the Comformer family on
+the same crystals (max_neighbours-capped kNN graphs like the reference's
+comformer ADP configs) instead of CartNet.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -32,10 +41,11 @@ def main():
     from cartnet_tpu.config import Config, DataConfig, ModelConfig, OptimConfig
     from cartnet_tpu.data.batching import bandwidth_reorder, collate
     from cartnet_tpu.data.synthetic import synthetic_dataset
-    from cartnet_tpu.models.cartnet import cartnet_apply, cartnet_init
+    from cartnet_tpu.models.factory import create_model
     from cartnet_tpu.train.loop import (build_optimizer, init_train_state,
                                         make_steps)
 
+    model_name = os.environ.get("CARTNET_BENCH_MODEL", "cartnet").lower()
     dim, layers, graphs = 256, 4, 4
     recs = synthetic_dataset(8, mean_atoms=194, radius=5.0, adp=True, seed=0)
     # RCM relabeling, exactly as the real pipeline applies it (narrower fused
@@ -45,7 +55,6 @@ def main():
     # pipeline achieves on real datasets: data/pipeline.py buckets>1), not
     # the whole-dataset worst case — same static shapes, ~96% fill vs ~76%
     groups = [recs[i * graphs:(i + 1) * graphs] for i in range(2)]
-    import os
     align = int(os.environ.get("CARTNET_T_EDGES", "512"))  # window alignment
     rnd = lambda v, m: -(-v // m) * m
     need_n = max(sum(len(r["z"]) for r in g) for g in groups)
@@ -54,11 +63,15 @@ def main():
     max_nodes = rnd(need_n, 128)
     max_edges = rnd(need_e, 512)
     cfg = Config(
-        model=ModelConfig(dim_in=dim, dim_rbf=64, num_layers=layers,
-                          cholesky=True, compute_dtype=jnp.bfloat16),
+        model=ModelConfig(name=model_name, dim_in=dim, dim_rbf=64,
+                          num_layers=layers, cholesky=True,
+                          compute_dtype=jnp.bfloat16),
         data=DataConfig(max_nodes=max_nodes, max_edges=max_edges,
                         max_graphs=graphs),
-        optim=OptimConfig(lr=1e-3, batch_accumulation=1))
+        # reference ADP cadence: optimizer every 16 micro-batches
+        # (scripts/train_cartnet_adp.sh batch 4 x accum 16)
+        optim=OptimConfig(lr=1e-3, batch_accumulation=16))
+    model_init, model_apply = create_model(cfg.model)
 
     batches = [collate(recs[i * graphs:(i + 1) * graphs], max_nodes, max_edges,
                        graphs, edge_align=align) for i in range(2)]
@@ -71,35 +84,48 @@ def main():
                                 for b in batches]))
 
     opt = build_optimizer(cfg, 100)
-    state = init_train_state(jax.random.key(0), cfg, cartnet_init, opt)
+    state = init_train_state(jax.random.key(0), cfg, model_init, opt)
 
     # K train steps fused into one lax.scan launch: measures pure chip time
     # (per-dispatch tunnel latency here is ~10x the actual step time)
-    from cartnet_tpu.train.loop import make_fused_steps, stack_batches
+    from cartnet_tpu.train.loop import make_fused_chunk, stack_batches
     iters = 128  # amortize the ~25 ms tunnel dispatch to <0.2 ms/step
     stacked = stack_batches([batches[i % 2] for i in range(iters)])
-    fused = make_fused_steps(cfg, cartnet_apply, opt, iters)
+    fused = make_fused_chunk(cfg, model_apply, opt, iters)
 
     state, _ = fused(state, stacked)  # compile + warmup
     jax.block_until_ready(state.params)
-    best = float("inf")
+    np.asarray(state.step)  # force a device->host sync (tunnel timing trap)
+    times = []
     for _ in range(3):
         t0 = time.perf_counter()
         state, _ = fused(state, stacked)
         jax.block_until_ready(state.params)
-        best = min(best, time.perf_counter() - t0)
+        np.asarray(state.step)
+        times.append(time.perf_counter() - t0)
 
-    edges_per_sec = real_edges * iters / best
+    edges_per_sec = real_edges * iters / float(np.median(times))
 
-    # roofline: per layer fwd = 2 edge GEMM pairs (d->d twice per MLP, merged
-    # first layer counted as 2x [E,d]x[d,d]) + node projections; bwd ~ 2x fwd.
-    flops_fwd = layers * (4 * max_edges + 4 * real_nodes) * dim * dim * 2
+    # roofline: per layer fwd GEMM work + node projections; bwd ~ 2x fwd.
+    # cartnet: 2 edge MLP GEMM pairs (4 E d^2) + xi/xj projections (4 N d^2).
+    # comformer conv: key/msg MLPs (4 E d^2) + lin_edge (E d^2) + q/k/v,
+    # lin_concate, xi/xj blocks (8 N d^2); 3 convs (ecomformer) / 4
+    # (icomformer), equi/edge-update blocks not counted (conservative).
+    if model_name == "cartnet":
+        per_layer = 4 * max_edges + 4 * real_nodes
+        n_l = layers
+    else:
+        per_layer = 5 * max_edges + 8 * real_nodes
+        n_l = 3 if model_name == "ecomformer" else 4
+    flops_fwd = n_l * per_layer * dim * dim * 2
     flops_step = 3 * flops_fwd
     peak = _peak_flops(jax.devices()[0])
     sol_edges_per_sec = real_edges / (flops_step / peak)
 
+    metric = ("edges_per_sec_per_chip" if model_name == "cartnet"
+              else f"edges_per_sec_per_chip_{model_name}")
     print(json.dumps({
-        "metric": "edges_per_sec_per_chip",
+        "metric": metric,
         "value": round(edges_per_sec, 1),
         "unit": "edges/s",
         "vs_baseline": round(edges_per_sec / sol_edges_per_sec, 4),

@@ -77,24 +77,97 @@ def _split3(mlp, a_node_i, a_node_j, edge_term, batch: CrystalBatch):
 def conv_apply(p, state, x, edge_attr, batch: CrystalBatch, cfg: ModelConfig,
                training: bool, ep_axis: Optional[str] = None,
                edge_stat_axes=(), node_stat_axes=()):
-    """Gated single-head attention conv (comformer_conv.py:71-99)."""
+    """Gated single-head attention conv (comformer_conv.py:71-99).
+
+    Fused path: the key/msg MLPs have exactly CartNet's edge-phase shape
+    (two MLPs over [a_dst ‖ a_src ‖ e] sharing the endpoint gathers), so the
+    same Pallas window kernel computes both without [E, 3d] HBM tensors —
+    xi = [k@Wk_i ‖ v@Wm_i], xj = [k@Wk_j ‖ v@Wm_j] makes the kernel's
+    (gate, sender) == (key_j, msg). The gated aggregation then runs through
+    sigma_segsum (env = q-gather handled outside; BN stays two-pass since
+    it normalizes alpha = q_dst * key_j, not a kernel output).
+    """
     dst = batch.edge_dst
+    d = x.shape[-1]
     q = nn.linear(p["lin_query"], x)
     k = nn.linear(p["lin_key"], x)
     v = nn.linear(p["lin_value"], x)
     e = nn.linear(p["lin_edge"], edge_attr)
 
-    key_j = _split3(p["key_update"], k, k, e, batch)
-    alpha = q[dst] * key_j / math.sqrt(x.shape[-1])
-    alpha, bn_att_s = masked_batch_norm(p["bn_att"], state["bn_att"], alpha,
-                                        batch.edge_mask, training=training,
-                                        momentum=cfg.bn_momentum, eps=cfg.bn_eps,
-                                        axis_names=edge_stat_axes)
-    msg = _split3(p["msg_update"], v, v, e, batch)
-    msg = msg * jax.nn.sigmoid(alpha)
-    out = segment.masked_segment_sum(msg, dst, batch.edge_mask,
-                                     batch.num_nodes, sorted_ids=True,
-                                     pallas_ok=batch.pallas_seg_ok)
+    from cartnet_tpu.ops import dispatch
+    fused = dispatch.edge_fuse_active(
+        batch.num_edges, batch.num_nodes, d, x.dtype.itemsize,
+        c_src=batch.src_band,
+        plans=batch.edge_fuse_ok and batch.edge_dst_lo is not None)
+    if fused:
+        from cartnet_tpu.ops.pallas import edge_kernels as ek
+        from cartnet_tpu.ops.pallas.segment_kernels import on_tpu
+        wk, bk = p["key_update"]["lin0"]["w"], p["key_update"]["lin0"]["b"]
+        wm, bm = p["msg_update"]["lin0"]["w"], p["msg_update"]["lin0"]["b"]
+        xi = jnp.concatenate([jnp.dot(k, wk[:d], preferred_element_type=k.dtype),
+                              jnp.dot(v, wm[:d], preferred_element_type=k.dtype)],
+                             axis=1)
+        xj = jnp.concatenate([jnp.dot(k, wk[d:2 * d],
+                                      preferred_element_type=k.dtype),
+                              jnp.dot(v, wm[d:2 * d],
+                                      preferred_element_type=k.dtype)],
+                             axis=1)
+        we = jnp.concatenate([wk[2 * d:], wm[2 * d:]], axis=1)
+        b = jnp.concatenate([bk, bm])
+        key_j, msg, _, _, _ = ek.edge_phase(
+            xi, xj, e, we, b,
+            p["key_update"]["lin1"]["w"], p["key_update"]["lin1"]["b"],
+            p["msg_update"]["lin1"]["w"], p["msg_update"]["lin1"]["b"],
+            batch.edge_dst, batch.edge_src, batch.edge_mask,
+            batch.edge_dst_lo, batch.edge_src_lo, batch.edge_src_nblk,
+            batch.src_band, not on_tpu())
+    else:
+        key_j = _split3(p["key_update"], k, k, e, batch)
+        msg = _split3(p["msg_update"], v, v, e, batch)
+
+    if batch.edge_src_perm is None:
+        q_dst = q[dst]
+    else:
+        q_dst = segment.gather_edges(q, dst, pallas_ok=batch.pallas_seg_ok,
+                                     sorted_idx=True)
+    alpha = q_dst * key_j / math.sqrt(d)
+
+    sigma_fused = False
+    if batch.pallas_seg_ok:
+        from cartnet_tpu.models.cartnet import _FORCE_SIGMA_INTERPRET
+        from cartnet_tpu.ops.pallas.segment_kernels import (C_WINDOW, on_tpu,
+                                                            sigma_segsum)
+        from cartnet_tpu.ops.pallas.edge_kernels import C_DST, T_EDGES
+        E, N = batch.num_edges, batch.num_nodes
+        if dispatch.sigma_active(E, d, N,
+                                 interpret_ok=_FORCE_SIGMA_INTERPRET):
+            from cartnet_tpu.nn.norm import masked_bn_scale_shift
+            scale, shift, bn_att_s = masked_bn_scale_shift(
+                p["bn_att"], state["bn_att"], alpha, batch.edge_mask,
+                training=training, momentum=cfg.bn_momentum, eps=cfg.bn_eps,
+                axis_names=edge_stat_axes)
+            ids_eff = jnp.where(batch.edge_mask, dst, N).astype(jnp.int32)
+            lo = ((ids_eff[::T_EDGES] // 8) * 8).astype(jnp.int32)
+            c_win = C_DST if batch.edge_fuse_ok else C_WINDOW
+            ones_env = jnp.ones((E, 1), alpha.dtype)
+            # e_in = 0: the conv has no edge residual; the kernel's e_out
+            # (= sigma) is unused and DCE'd at the consumer level
+            _, out = sigma_segsum(alpha, scale, shift, ones_env, msg,
+                                  jnp.zeros_like(msg), ids_eff, lo, N,
+                                  c_win, not on_tpu())
+            sigma_fused = True
+
+    if not sigma_fused:
+        alpha, bn_att_s = masked_batch_norm(p["bn_att"], state["bn_att"],
+                                            alpha, batch.edge_mask,
+                                            training=training,
+                                            momentum=cfg.bn_momentum,
+                                            eps=cfg.bn_eps,
+                                            axis_names=edge_stat_axes)
+        msg = msg * jax.nn.sigmoid(alpha)
+        out = segment.masked_segment_sum(msg, dst, batch.edge_mask,
+                                         batch.num_nodes, sorted_ids=True,
+                                         pallas_ok=batch.pallas_seg_ok)
     if ep_axis is not None:
         out = jax.lax.psum(out, ep_axis)
     out = nn.linear(p["lin_concate"], out)

@@ -226,72 +226,85 @@ def _bwd_kernel(c_src, dlo_ref, slo_ref, nblk_ref, dids_ref, sids_ref,
     cdt = e_ref.dtype
     dlo = pl.multiple_of(dlo_ref[t], 8)
     slo = pl.multiple_of(slo_ref[t], 8)
-    e_w = e_ref[...]
-    # fold the BN-moment cotangents into dgate: the fwd emitted per-window
-    # masked partials s1_w = sum(m*g), M2_w = sum(m*(g-mean_w)^2), so
-    # d gate = dgate_in + m * (ds1_w + 2*dM2_w*(g - mean_w)); the internal
-    # mean_w dependence of M2_w contributes zero (sum of m*(g-mean_w) = 0)
-    mf = (emask_ref[t] > 0).astype(jnp.float32)[:, None]
-    g32 = gate_ref[...].astype(jnp.float32)
-    # moment arrays arrive as whole (nt, d) blocks (see fwd); read row t
-    corr = (ds1_ref[pl.ds(t, 1), :]
-            + 2.0 * dm2_ref[pl.ds(t, 1), :]
-            * (g32 - meanw_ref[pl.ds(t, 1), :]))
-    dg = (dgate_ref[...].astype(jnp.float32) + mf * corr).astype(cdt)
-    ds = dsender_ref[...].astype(cdt)
-
-    # the input-only MXU dots are issued before the VPU silu' chain so the
-    # scheduler CAN overlap them (measured neutral — Mosaic already
-    # interleaves; kept for the cheaper silu' algebra below):
-    # dh = [dg @ W1g^T ‖ ds @ W1a^T]  (contract over output dim)
     dims_nt = (((1,), (1,)), ((), ()))
-    dh_g = jax.lax.dot_general(dg, w1g_ref[...], dims_nt,
-                               preferred_element_type=jnp.float32)
-    dh_a = jax.lax.dot_general(ds, w1a_ref[...], dims_nt,
-                               preferred_element_type=jnp.float32)
-
-    pre = pre_saved_ref[...].astype(jnp.float32)  # saved by the fwd kernel
-    sig = jax.nn.sigmoid(pre)
-    h32 = pre * sig                                       # = silu(pre)
-    h = h32.astype(cdt)
-    oh_d = _onehot(dids_ref[t], dlo, C_DST, cdt)
-
-    db1g_ref[...] += jnp.sum(dg, axis=0, dtype=jnp.float32)[None, :]
-    db1a_ref[...] += jnp.sum(ds, axis=0, dtype=jnp.float32)[None, :]
-    # dW1 = h_slice^T @ dout  (contract over the T axis)
     dims_tt = (((0,), (0,)), ((), ()))
-    dw1g_ref[...] += jax.lax.dot_general(
-        h[:, :d], dg, dims_tt, preferred_element_type=jnp.float32)
-    dw1a_ref[...] += jax.lax.dot_general(
-        h[:, d:], ds, dims_tt, preferred_element_type=jnp.float32)
 
-    dh = jnp.concatenate([dh_g, dh_a], axis=1)            # [T, 2d] f32
-    # silu' = sig + pre*sig*(1-sig) = sig + h32*(1-sig)  (reuses h32)
-    dpre = dh * (sig + h32 * (1.0 - sig))
-    dpre_c = dpre.astype(cdt)
+    # CARTNET_BWD_SPLIT=1: process the window as independent halves so the
+    # scheduler can overlap one half's VPU chain (sigmoid/silu'/corr) with
+    # the other's MXU dots — the kernel runs at ~64% MXU and the gap tracks
+    # the serial VPU phase (PERF_NOTES round-4 lead 1). Identical math up to
+    # f32 accumulation order (contractions over T split in two).
+    n_halves = 2 if _os.environ.get("CARTNET_BWD_SPLIT", "0") == "1" else 1
+    t_half = dgate_ref.shape[0] // n_halves
 
-    db_ref[...] += jnp.sum(dpre, axis=0)[None, :]
-    # de = de_res + dpre @ We^T ; dWe = e_w^T @ dpre.  de_res is the layer
-    # residual's cotangent (e is passed through this op so the downstream
-    # e_out = e + sigma add backward lands here instead of a separate XLA
-    # [E,d] add pass).
-    de_ref[...] = (deres_ref[...].astype(jnp.float32) + jax.lax.dot_general(
-        dpre_c, we_ref[...], dims_nt,
-        preferred_element_type=jnp.float32)).astype(de_ref.dtype)
-    dwe_ref[...] += jax.lax.dot_general(
-        e_w, dpre_c, dims_tt, preferred_element_type=jnp.float32)
-    # banded scatter: dxi[band] += oh_d^T @ dpre; dxj per src block with the
-    # same skip as the forward gather (disjoint row ranges per block)
-    dxi_ref[pl.ds(dlo, C_DST), :] += jax.lax.dot_general(
-        oh_d, dpre_c, dims_tt, preferred_element_type=jnp.float32)
-    sids = sids_ref[t]
-    for k in range(c_src // SRC_BLK):
-        @pl.when(nblk_ref[t] > k)
-        def _(k=k):
-            blo = pl.multiple_of(slo + k * SRC_BLK, 8)
-            oh_k = _onehot(sids, blo, SRC_BLK, cdt)
-            dxj_ref[pl.ds(blo, SRC_BLK), :] += jax.lax.dot_general(
-                oh_k, dpre_c, dims_tt, preferred_element_type=jnp.float32)
+    for hs in range(n_halves):
+        rows = pl.ds(hs * t_half, t_half)
+        # fold the BN-moment cotangents into dgate: the fwd emitted
+        # per-window masked partials s1_w = sum(m*g), M2_w =
+        # sum(m*(g-mean_w)^2), so d gate = dgate_in + m * (ds1_w +
+        # 2*dM2_w*(g - mean_w)); the internal mean_w dependence of M2_w
+        # contributes zero (sum of m*(g-mean_w) = 0)
+        mf = (emask_ref[t, rows] > 0).astype(jnp.float32)[:, None]
+        g32 = gate_ref[rows, :].astype(jnp.float32)
+        # moment arrays arrive as whole (nt, d) blocks (see fwd); read row t
+        corr = (ds1_ref[pl.ds(t, 1), :]
+                + 2.0 * dm2_ref[pl.ds(t, 1), :]
+                * (g32 - meanw_ref[pl.ds(t, 1), :]))
+        dg = (dgate_ref[rows, :].astype(jnp.float32) + mf * corr).astype(cdt)
+        ds = dsender_ref[rows, :].astype(cdt)
+
+        # the input-only MXU dots are issued before the VPU silu' chain so
+        # the scheduler CAN overlap them:
+        # dh = [dg @ W1g^T ‖ ds @ W1a^T]  (contract over output dim)
+        dh_g = jax.lax.dot_general(dg, w1g_ref[...], dims_nt,
+                                   preferred_element_type=jnp.float32)
+        dh_a = jax.lax.dot_general(ds, w1a_ref[...], dims_nt,
+                                   preferred_element_type=jnp.float32)
+
+        pre = pre_saved_ref[rows, :].astype(jnp.float32)  # saved by the fwd
+        sig = jax.nn.sigmoid(pre)
+        h32 = pre * sig                                       # = silu(pre)
+        h = h32.astype(cdt)
+        oh_d = _onehot(dids_ref[t, rows], dlo, C_DST, cdt)
+
+        db1g_ref[...] += jnp.sum(dg, axis=0, dtype=jnp.float32)[None, :]
+        db1a_ref[...] += jnp.sum(ds, axis=0, dtype=jnp.float32)[None, :]
+        # dW1 = h_slice^T @ dout  (contract over the T axis)
+        dw1g_ref[...] += jax.lax.dot_general(
+            h[:, :d], dg, dims_tt, preferred_element_type=jnp.float32)
+        dw1a_ref[...] += jax.lax.dot_general(
+            h[:, d:], ds, dims_tt, preferred_element_type=jnp.float32)
+
+        dh = jnp.concatenate([dh_g, dh_a], axis=1)        # [T/2, 2d] f32
+        # silu' = sig + pre*sig*(1-sig) = sig + h32*(1-sig)  (reuses h32)
+        dpre = dh * (sig + h32 * (1.0 - sig))
+        dpre_c = dpre.astype(cdt)
+
+        db_ref[...] += jnp.sum(dpre, axis=0)[None, :]
+        # de = de_res + dpre @ We^T ; dWe = e_w^T @ dpre.  de_res is the
+        # layer residual's cotangent (e is passed through this op so the
+        # downstream e_out = e + sigma add backward lands here instead of a
+        # separate XLA [E,d] add pass).
+        e_w = e_ref[rows, :]
+        de_ref[rows, :] = (
+            deres_ref[rows, :].astype(jnp.float32) + jax.lax.dot_general(
+                dpre_c, we_ref[...], dims_nt,
+                preferred_element_type=jnp.float32)).astype(de_ref.dtype)
+        dwe_ref[...] += jax.lax.dot_general(
+            e_w, dpre_c, dims_tt, preferred_element_type=jnp.float32)
+        # banded scatter: dxi[band] += oh_d^T @ dpre; dxj per src block with
+        # the same skip as the forward gather (disjoint row ranges per block)
+        dxi_ref[pl.ds(dlo, C_DST), :] += jax.lax.dot_general(
+            oh_d, dpre_c, dims_tt, preferred_element_type=jnp.float32)
+        sids = sids_ref[t, rows]
+        for k in range(c_src // SRC_BLK):
+            @pl.when(nblk_ref[t] > k)
+            def _(k=k, sids=sids, dpre_c=dpre_c):
+                blo = pl.multiple_of(slo + k * SRC_BLK, 8)
+                oh_k = _onehot(sids, blo, SRC_BLK, cdt)
+                dxj_ref[pl.ds(blo, SRC_BLK), :] += jax.lax.dot_general(
+                    oh_k, dpre_c, dims_tt,
+                    preferred_element_type=jnp.float32)
 
 
 def _specs(nt, n_i, n_j, e, d, t_win):

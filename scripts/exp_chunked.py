@@ -1,0 +1,111 @@
+"""Measure + profile the chunked big-batch path (VERDICT r3 next #4).
+
+Builds ADP-scale batches at graphs=4 (reference config) and graphs=32
+(the anti-scaling regime), runs the chunked vmap step under a lax.scan
+(dispatch-amortized like bench.py), prints edges/s, and optionally captures
+an xprof trace of the chunked scan for attribution.
+
+Usage: python scripts/exp_chunked.py [--xprof /tmp/xp_chunk] [--k 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--xprof", default=None)
+    ap.add_argument("--k", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=32)
+    args = ap.parse_args()
+
+    import functools
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.lax as lax
+    import jax.numpy as jnp
+    from cartnet_tpu.config import Config, DataConfig, ModelConfig, OptimConfig
+    from cartnet_tpu.data.batching import bandwidth_reorder, collate
+    from cartnet_tpu.data.synthetic import synthetic_dataset
+    from cartnet_tpu.models.cartnet import cartnet_apply, cartnet_init
+    from cartnet_tpu.parallel.chunk import make_chunked_steps, to_chunked
+    from cartnet_tpu.train.loop import build_optimizer, init_train_state
+
+    dim, layers = 256, 4
+    align = 512
+    rnd = lambda v, m: -(-v // m) * m
+
+    def build(graphs, seed=0):
+        recs = [bandwidth_reorder(r) for r in
+                synthetic_dataset(graphs, mean_atoms=194, radius=5.0,
+                                  adp=True, seed=seed)]
+        n = rnd(sum(len(r["z"]) for r in recs), 128)
+        e = rnd(sum(rnd(len(r["edge_src"]), align) for r in recs), 512)
+        cfg = Config(
+            model=ModelConfig(dim_in=dim, dim_rbf=64, num_layers=layers,
+                              cholesky=True, compute_dtype=jnp.bfloat16),
+            data=DataConfig(max_nodes=n, max_edges=e, max_graphs=graphs),
+            optim=OptimConfig(lr=1e-3, batch_accumulation=16))
+        batch = collate(recs, n, e, graphs, edge_align=align)
+        return cfg, batch
+
+    def run_chunked(graphs, k, label):
+        cfg, batch = build(graphs)
+        real_edges = float(np.asarray(batch.edge_mask).sum())
+        cb = to_chunked(batch, k)
+        n_per, e_per = cb.z.shape[1], cb.edge_src.shape[1]
+        from cartnet_tpu.models.cartnet import kernels_active
+        ka = kernels_active(cb, dim)
+        print(f"{label}: n/chunk={n_per} e/chunk={e_per} "
+              f"fill={real_edges / (k * e_per):.2f} kernels_active={ka}",
+              flush=True)
+        cb = jax.tree.map(jnp.asarray, cb)
+        opt = build_optimizer(cfg, 100)
+        state = init_train_state(jax.random.key(0), cfg, cartnet_init, opt)
+        micro, _, _ = make_chunked_steps(cfg, cartnet_apply, opt)
+
+        # host-loop timing with the two-point method: per-call tunnel
+        # dispatch (~25 ms) cancels in (time(2K) - time(K)) / K
+        state, _ = micro(state, cb)
+        jax.block_until_ready(state.params)
+        np.asarray(state.step)
+
+        def loop(m):
+            t0 = time.perf_counter()
+            nonlocal state
+            for _ in range(m):
+                state, _ = micro(state, cb)
+            jax.block_until_ready(state.params)
+            np.asarray(state.step)
+            return time.perf_counter() - t0
+
+        loop(2)
+        best = float("inf")
+        for _ in range(3):
+            t1 = loop(args.iters)
+            t2 = loop(2 * args.iters)
+            best = min(best, (t2 - t1) / args.iters)
+        eps = real_edges / best
+        print(f"{label}: {eps / 1e6:.2f}M edges/s (per-step {best * 1e3:.2f} ms)",
+              flush=True)
+        if args.xprof:
+            with jax.profiler.trace(args.xprof):
+                loop(args.iters)
+        return eps
+
+    run_chunked(32, args.k, f"graphs=32 chunks={args.k}")
+    run_chunked(4, 1, "graphs=4 chunks=1 (sanity)")
+
+
+if __name__ == "__main__":
+    main()
