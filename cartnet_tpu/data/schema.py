@@ -86,6 +86,13 @@ class CrystalBatch:
     # static: True when every edge window satisfies the Pallas segment-sum
     # span condition (batching._windows_ok) for both dst and sorted-src ids.
     pallas_seg_ok: bool = flax.struct.field(pytree_node=False, default=False)
+    # static: halo overlap/fused coexistence (parallel/halo.py): the first
+    # ``halo_interior_nt`` windows of EVERY member's edge block touch only
+    # member-local src rows, so the fused edge kernel runs them against a
+    # zeros-recv table while the boundary all_to_all is in flight; the
+    # remaining windows run in a second kernel call after the exchange.
+    # 0 = no split (single kernel call over the full table).
+    halo_interior_nt: int = flax.struct.field(pytree_node=False, default=0)
 
     @property
     def num_nodes(self) -> int:

@@ -206,26 +206,36 @@ def conv_edge_apply(p, state, edge_attr, edge_nei_len, edge_nei_angle,
     """
     d = edge_attr.shape[-1]
     q = nn.linear(p["lin_query"], edge_attr)[:, None, :]        # [E,1,d]
-    kx = nn.linear(p["lin_key"], edge_attr)[:, None, :]
-    vx = nn.linear(p["lin_value"], edge_attr)[:, None, :]
+    kx = nn.linear(p["lin_key"], edge_attr)                     # [E,d]
+    vx = nn.linear(p["lin_value"], edge_attr)
     ky = jnp.stack([nn.linear(p[f"key_e{i + 1}"], edge_nei_len[:, i])
                     for i in range(3)], axis=1)                  # [E,3,d]
     vy = jnp.stack([nn.linear(p[f"value_e{i + 1}"], edge_nei_len[:, i])
                     for i in range(3)], axis=1)
     exy = nn.linear(p["lin_edge"], edge_nei_angle)               # [E,3,d]
 
-    key = nn.mlp_silu(p["key_update"],
-                      jnp.concatenate([jnp.broadcast_to(kx, ky.shape), ky, exy],
-                                      axis=-1), 2)
+    # first MLP layers over [x ‖ y ‖ exy] as block matmuls: the x block is
+    # identical across the 3 lattice channels, so project it ONCE per edge
+    # and broadcast — no [E,3,3d] concat ever hits HBM (xprof: those f32
+    # concat fusions were ~1.5 ms/step at bench shapes)
+    def _pre3(mlp, x2d, y3d):
+        w, b = mlp["lin0"]["w"], mlp["lin0"]["b"]
+        px = jnp.dot(x2d, w[:d], preferred_element_type=x2d.dtype)
+        return (px[:, None, :]
+                + jnp.dot(y3d, w[d:2 * d], preferred_element_type=x2d.dtype)
+                + jnp.dot(exy, w[2 * d:], preferred_element_type=x2d.dtype)
+                + b)
+
+    key = nn.linear(p["key_update"]["lin1"],
+                    jax.nn.silu(_pre3(p["key_update"], kx, ky)))
     alpha = (q * key) / math.sqrt(d)                             # [E,3,d]
     mask3 = jnp.repeat(edge_mask, 3)
     alpha_flat, bn_att_s = masked_batch_norm(
         p["bn_att"], state["bn_att"], alpha.reshape(-1, d), mask3,
         training=training, momentum=cfg.bn_momentum, eps=cfg.bn_eps,
         axis_names=edge_stat_axes)
-    msg = nn.mlp_silu(p["msg_update"],
-                      jnp.concatenate([jnp.broadcast_to(vx, vy.shape), vy, exy],
-                                      axis=-1), 2)
+    msg = nn.linear(p["msg_update"]["lin1"],
+                    jax.nn.silu(_pre3(p["msg_update"], vx, vy)))
     out = msg * jax.nn.sigmoid(alpha_flat.reshape(alpha.shape))
     out = nn.linear(p["lin_concate"], out).sum(axis=1)           # [E,d]
     out, bn_s = masked_batch_norm(p["bn"], state["bn"], out, edge_mask,
@@ -268,6 +278,7 @@ def ecomformer_apply(params, state, batch: CrystalBatch, cfg: ModelConfig,
                      training: bool = False, ep_axis: Optional[str] = None,
                      edge_stat_axes=(), node_stat_axes=()):
     dt = cfg.compute_dtype
+    params = nn.cast_params(params, dt, cfg.param_dtype)
     t = nn.linear(params["temp_proj"], batch.temperature[:, None].astype(dt))
     # one-hot MXU lookup/gather: take's VJP is a serial scatter (see
     # nn.embedding_onehot / PERF_NOTES round-3 xprof)
@@ -321,6 +332,7 @@ def icomformer_apply(params, state, batch: CrystalBatch, cfg: ModelConfig,
                      training: bool = False, ep_axis: Optional[str] = None,
                      edge_stat_axes=(), node_stat_axes=()):
     dt = cfg.compute_dtype
+    params = nn.cast_params(params, dt, cfg.param_dtype)
     t = nn.linear(params["temp_proj"], batch.temperature[:, None].astype(dt))
     # one-hot MXU lookup/gather: take's VJP is a serial scatter (see
     # nn.embedding_onehot / PERF_NOTES round-3 xprof)
@@ -329,12 +341,26 @@ def icomformer_apply(params, state, batch: CrystalBatch, cfg: ModelConfig,
 
     dist = jnp.maximum(batch.cart_dist.astype(dt), 1e-6)
     efeat = -0.75 / dist
-    cell_e = batch.cell.astype(dt)[batch.graph_id[batch.edge_src]]  # [E,3,3]
-    row_norm = jnp.linalg.norm(cell_e, axis=-1)                      # [E,3]
+    # lattice-row features without the [E,3,3] per-edge cell gather (xprof:
+    # VMEM-bound multiply_reduce fusions ~300 us/step): compute per-graph
+    # row norms and all-graph direction dots, then select per edge with a
+    # [E, G] one-hot (G is tiny) — identical values
+    G = batch.num_graphs
+    cell = batch.cell.astype(dt)                                 # [G,3,3]
+    row_norm_g = jnp.linalg.norm(cell, axis=-1)                  # [G,3]
+    gid_e = batch.graph_id[batch.edge_src]                       # [E]
+    oh_g = (gid_e[:, None]
+            == jnp.arange(G, dtype=gid_e.dtype)[None, :]).astype(dt)
+    row_norm = jnp.dot(oh_g, row_norm_g,
+                       preferred_element_type=dt)                # [E,3]
     nei_len_feat = -0.75 / jnp.maximum(row_norm, 1e-6)
     # cosine between each lattice row and the edge direction (comformer.py:18-23)
     dirs = batch.cart_dir.astype(dt)
-    cosang = jnp.einsum("eri,ei->er", cell_e, dirs) / (
+    cos_all = jnp.dot(dirs, cell.reshape(G * 3, 3).T,
+                      preferred_element_type=dt)                 # [E, G*3]
+    cos_raw = jnp.einsum("eg,egr->er", oh_g,
+                         cos_all.reshape(-1, G, 3))              # [E,3]
+    cosang = cos_raw / (
         jnp.maximum(row_norm, 1e-6) *
         jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-6))
     cosang = jnp.clip(cosang, -1.0, 1.0)

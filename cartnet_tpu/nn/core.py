@@ -80,6 +80,19 @@ def gather_rows_onehot(values, ids, num_rows: int, dtype):
                    preferred_element_type=dtype)
 
 
+def cast_params(params, compute_dtype, param_dtype):
+    """Cast float params once at the top of a model apply (XLA fuses the
+    casts); BN statistics and losses stay f32 elsewhere. Without this every
+    GEMM runs at the param dtype — measured 5.6x slower for iComformer when
+    its apply skipped the cast (f32 MXU passes + doubled HBM traffic)."""
+    if compute_dtype == param_dtype:
+        return params
+    import jax as _jax
+    return _jax.tree.map(
+        lambda a: a.astype(compute_dtype) if a.dtype == param_dtype else a,
+        params)
+
+
 def mlp_init(key, dims: Sequence[int], bias: bool = True, dtype=jnp.float32):
     """Params for a chain of Linear layers; activations applied by caller."""
     keys = jax.random.split(key, len(dims) - 1)

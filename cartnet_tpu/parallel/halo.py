@@ -246,7 +246,15 @@ def to_halo(batch: CrystalBatch, ep: int,
             send_idx[o, m, :len(rows)] = (rows - bounds[o]).astype(np.int32)
             send_mask[o, m, :len(rows)] = True
             slot = np.searchsorted(rows, e_src[sel])
-            src_ids[sel] = (n_per + int(o) * h_max + slot).astype(np.int32)
+            # recv-block rank: neighbors-first rolled order (owner m+1 right
+            # after the local rows). RCM + contiguous cuts mean nearly all
+            # remote refs come from member m+1, so the table span a boundary
+            # window must cover stays ~[top-of-local .. n_per + |halo|]
+            # instead of jumping o*h_max rows — without this the fused plans
+            # fail on genuinely split crystals (span > band). The device side
+            # builds the same order with jnp.roll (models/cartnet.py).
+            rank = (int(o) - m - 1) % ep
+            src_ids[sel] = (n_per + rank * h_max + slot).astype(np.int32)
         out_src[esl] = src_ids
 
     # per-member Pallas window plans (VERDICT r2 #1): the sharded step runs
@@ -300,7 +308,43 @@ def to_halo(batch: CrystalBatch, ep: int,
         src_nblk[:] = 0
         src_band = C_SRC
 
+    # overlap/fused coexistence (VERDICT r3 next #6): reorder each member's
+    # windows interior-first (no real src row >= n_per, i.e. untouched by the
+    # recv block). The layer then runs the fused kernel on the first
+    # ``interior_nt`` windows against a zeros-recv table WHILE the boundary
+    # all_to_all flies, and a second kernel call handles the rest. Window
+    # permutation is sound: every kernel/plan is per-window, windows stay
+    # internally dst-sorted, and the (rare) unfused fallback switches to
+    # unsorted scatter when interior_nt > 0 (models/cartnet.py).
+    interior_nt = 0
+    if fuse_ok and seg_ok and send_mask.sum() > 0:
+        ni_list = []
+        for m in range(ep):
+            base = m * e_per
+            interior, boundary = [], []
+            for w in range(nt_per):
+                wsl = slice(base + w * T_EDGES, base + (w + 1) * T_EDGES)
+                mreal = out_emask[wsl]
+                is_b = bool((out_src[wsl][mreal] >= n_per).any()) \
+                    if mreal.any() else False
+                (boundary if is_b else interior).append(w)
+            perm = np.asarray(interior + boundary, np.int64)
+            ni_list.append(len(interior))
+            for arr in (out_dst, out_src, out_dist, out_emask, out_dir):
+                blk = arr[base:base + e_per].reshape(
+                    (nt_per, T_EDGES) + arr.shape[1:])
+                arr[base:base + e_per] = blk[perm].reshape(
+                    (e_per,) + arr.shape[1:])
+            pb = m * nt_per
+            for arr in (dst_lo, src_lo, src_nblk):
+                arr[pb:pb + nt_per] = arr[pb:pb + nt_per][perm]
+        ni = min(ni_list)
+        # floor to a power of two: bounds the distinct compiled programs to
+        # log2(nt_per) while keeping most of the overlapped work
+        interior_nt = (1 << (ni.bit_length() - 1)) if ni > 0 else 0
+
     return batch.replace(
+        halo_interior_nt=int(interior_nt),
         z=out_z, pos=out_pos, graph_id=out_gid, node_mask=out_nmask,
         non_h_mask=out_nonh, y=out_y,
         edge_src=out_src, edge_dst=out_dst, cart_dist=out_dist,
@@ -319,14 +363,17 @@ def halo_table(x, send_idx, ep_axis: str):
 
     x: member-local [n_per, d]; send_idx: [ep, H] rows this member sends to
     every other member. Returns the gather table
-    [n_per + ep*H, d] = [x ‖ recv-from-0 ‖ recv-from-1 ‖ ...]; edge_src ids
-    from ``to_halo`` index straight into it. Unfilled slots are never
-    referenced by real edges, so no receiver-side masking is needed.
+    [n_per + ep*H, d] = [x ‖ recv-from-(m+1) ‖ recv-from-(m+2) ‖ ...]
+    (neighbors-first rolled block order, matching to_halo's src ids);
+    edge_src ids from ``to_halo`` index straight into it. Unfilled slots are
+    never referenced by real edges, so no receiver-side masking is needed.
     """
     import jax
     import jax.numpy as jnp
     send = x[send_idx]  # [ep, H, d] — local rows destined for each member
     recv = jax.lax.all_to_all(send, ep_axis, split_axis=0, concat_axis=0)
+    m_idx = jax.lax.axis_index(ep_axis)
+    recv = jnp.roll(recv, -(m_idx + 1), axis=0)
     return jnp.concatenate([x, recv.reshape(-1, x.shape[-1])], axis=0)
 
 

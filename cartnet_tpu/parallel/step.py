@@ -73,8 +73,12 @@ def stack_for_shards(batches: List[CrystalBatch],
     from cartnet_tpu.data.batching import upgrade_src_band
     band = max(b.src_band for b in batches)
     batches = [upgrade_src_band(b, band) for b in batches]
+    # interior-first split point must agree across dp slices (one traced
+    # program): take the min — extra interior windows on other slices just
+    # run in the boundary call, which is always correct
+    hint = min(b.halo_interior_nt for b in batches)
     batches = [b.replace(edge_fuse_ok=fuse, pallas_seg_ok=seg,
-                         halo_empty=hempty)
+                         halo_empty=hempty, halo_interior_nt=hint)
                for b in batches]
     return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *batches)
 
@@ -185,17 +189,21 @@ def make_parallel_steps(cfg: Config, model_apply, optimizer, mesh: Mesh,
     # in_specs must match the input's treedef exactly — so the shard_map (and
     # its jit) is instantiated per flag combination (≤4 per run, typically 1)
     @functools.lru_cache(maxsize=None)
-    def _micro_for(fuse: bool, seg: bool, hempty: bool, band: int):
+    def _micro_for(fuse: bool, seg: bool, hempty: bool, band: int,
+                   hint: int):
         specs = bspecs.replace(edge_fuse_ok=fuse, pallas_seg_ok=seg,
-                               halo_empty=hempty, src_band=band)
+                               halo_empty=hempty, src_band=band,
+                               halo_interior_nt=hint)
         sm = jax.shard_map(_micro, mesh=mesh,
                           in_specs=(rep, specs), out_specs=(rep, rep))
         return jax.jit(sm, donate_argnums=0)
 
     @functools.lru_cache(maxsize=None)
-    def _eval_for(fuse: bool, seg: bool, hempty: bool, band: int):
+    def _eval_for(fuse: bool, seg: bool, hempty: bool, band: int,
+                  hint: int):
         specs = bspecs.replace(edge_fuse_ok=fuse, pallas_seg_ok=seg,
-                               halo_empty=hempty, src_band=band)
+                               halo_empty=hempty, src_band=band,
+                               halo_interior_nt=hint)
         sm = jax.shard_map(_eval, mesh=mesh,
                           in_specs=(rep, rep, specs),
                           out_specs=(pred_spec, pred_spec, rep))
@@ -203,12 +211,13 @@ def make_parallel_steps(cfg: Config, model_apply, optimizer, mesh: Mesh,
 
     def micro_step(state, batch):
         return _micro_for(batch.edge_fuse_ok, batch.pallas_seg_ok,
-                          batch.halo_empty, batch.src_band)(state, batch)
+                          batch.halo_empty, batch.src_band,
+                          batch.halo_interior_nt)(state, batch)
 
     def eval_step(params, bn_state, batch):
         return _eval_for(batch.edge_fuse_ok, batch.pallas_seg_ok,
-                         batch.halo_empty, batch.src_band)(params, bn_state,
-                                                           batch)
+                         batch.halo_empty, batch.src_band,
+                         batch.halo_interior_nt)(params, bn_state, batch)
 
     @functools.partial(jax.jit, donate_argnums=0)
     def update_step(state: TrainState):
@@ -306,16 +315,18 @@ def make_parallel_fused_chunk(cfg: Config, model_apply, optimizer,
     rep = P()
 
     @functools.lru_cache(maxsize=None)
-    def _chunk_for(fuse: bool, seg: bool, hempty: bool, band: int):
+    def _chunk_for(fuse: bool, seg: bool, hempty: bool, band: int,
+                   hint: int):
         specs = scan_specs.replace(edge_fuse_ok=fuse, pallas_seg_ok=seg,
-                                   halo_empty=hempty, src_band=band)
+                                   halo_empty=hempty, src_band=band,
+                                   halo_interior_nt=hint)
         sm = jax.shard_map(_chunk, mesh=mesh,
                            in_specs=(rep, specs), out_specs=(rep, rep))
         return jax.jit(sm, donate_argnums=0)
 
     def chunk(state, stacked):
         return _chunk_for(stacked.edge_fuse_ok, stacked.pallas_seg_ok,
-                          stacked.halo_empty, stacked.src_band)(state,
-                                                                stacked)
+                          stacked.halo_empty, stacked.src_band,
+                          stacked.halo_interior_nt)(state, stacked)
 
     return chunk

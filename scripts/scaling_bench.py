@@ -110,6 +110,7 @@ def main():
             mesh = make_mesh(dp, ep)
             slices = [slice_batch(i) for i in range(dp)]
             boundary_frac = 0.0
+            hidden_frac = 1.0
             if halo:
                 slices_t = [to_halo(s, ep) for s in slices]
                 cb = comms_bytes_per_layer(slices_t[0], dim)
@@ -122,6 +123,15 @@ def main():
                 em = np.asarray(b0.edge_mask)
                 boundary = np.asarray(b0.edge_src) >= n_per
                 boundary_frac = float((boundary & em).sum() / max(em.sum(), 1))
+                # comms-hidden fraction on the FUSED path: the interior-first
+                # window split (halo_interior_nt) runs that prefix of each
+                # member's windows against a zeros-recv table while the
+                # all_to_all flies; only the remaining windows wait on it
+                from cartnet_tpu.ops.pallas.edge_kernels import T_EDGES
+                hint = min(s.halo_interior_nt for s in slices_t)
+                nt_per = b0.edge_src.shape[0] // ep // T_EDGES
+                hidden_frac = (hint / max(nt_per, 1)
+                               if b0.edge_fuse_ok else 1.0 - boundary_frac)
             else:
                 slices_t = slices
                 comms = (int(2 * (ep - 1) / ep * n_per_slice * dim * 4)
@@ -146,7 +156,11 @@ def main():
                 # fraction of real edges whose source arrives via the halo
                 # exchange — the work that CANNOT overlap the all_to_all;
                 # everything else (1 - x) runs while the collective flies
-                "boundary_edge_fraction": round(boundary_frac, 4)})
+                "boundary_edge_fraction": round(boundary_frac, 4),
+                # fraction of per-member edge windows the fused kernel runs
+                # BEFORE consuming the exchange (interior-first split) — the
+                # compute available to hide the collective behind
+                "comms_hidden_fraction": round(hidden_frac, 4)})
             print(json.dumps(results[-1]), flush=True)
 
     print(json.dumps({"scaling_sweep": results}))
