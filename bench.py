@@ -89,7 +89,10 @@ def main():
     # K train steps fused into one lax.scan launch: measures pure chip time
     # (per-dispatch tunnel latency here is ~10x the actual step time)
     from cartnet_tpu.train.loop import make_fused_chunk, stack_batches
-    iters = 128  # amortize the ~25 ms tunnel dispatch to <0.2 ms/step
+    # amortize the ~25 ms tunnel dispatch to <0.07 ms/step: at 128 iters the
+    # per-call floor still inflated the step by ~8% (stacked batches are
+    # ~1 MB/step of HBM — 384 is nothing against 16 GB)
+    iters = 384
     stacked = stack_batches([batches[i % 2] for i in range(iters)])
     fused = make_fused_chunk(cfg, model_apply, opt, iters)
 

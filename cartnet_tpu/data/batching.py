@@ -298,7 +298,7 @@ def _windows_ok(ids: np.ndarray, mask: np.ndarray) -> bool:
         if not w_mask.any():
             continue
         real = w_ids[w_mask]
-        lo = (w_ids[0] // 8) * 8  # kernel aligns the window base down to 8
+        lo = (w_ids[0] // 16) * 16  # kernel window base: 16-aligned (bf16 DMA tile)
         if real.max() - lo >= C_WINDOW:
             return False
     return True

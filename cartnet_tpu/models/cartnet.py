@@ -344,7 +344,7 @@ def layer_apply(p, state, x, e, batch: CrystalBatch, cfg: ModelConfig,
                        else jnp.ones((E, 1), gate.dtype))
             ids_eff = jnp.where(batch.edge_mask, batch.edge_dst,
                                 N).astype(jnp.int32)
-            lo = ((ids_eff[::T_EDGES] // 8) * 8).astype(jnp.int32)
+            lo = ((ids_eff[::T_EDGES] // 16) * 16).astype(jnp.int32)
             c_win = C_DST if batch.edge_fuse_ok else C_WINDOW
             e_out, aggr = sigma_segsum(gate, scale, shift,
                                        env_col.astype(gate.dtype), sender,

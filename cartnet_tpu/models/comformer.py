@@ -147,7 +147,7 @@ def conv_apply(p, state, x, edge_attr, batch: CrystalBatch, cfg: ModelConfig,
                 training=training, momentum=cfg.bn_momentum, eps=cfg.bn_eps,
                 axis_names=edge_stat_axes)
             ids_eff = jnp.where(batch.edge_mask, dst, N).astype(jnp.int32)
-            lo = ((ids_eff[::T_EDGES] // 8) * 8).astype(jnp.int32)
+            lo = ((ids_eff[::T_EDGES] // 16) * 16).astype(jnp.int32)
             c_win = C_DST if batch.edge_fuse_ok else C_WINDOW
             ones_env = jnp.ones((E, 1), alpha.dtype)
             # e_in = 0: the conv has no edge residual; the kernel's e_out

@@ -42,6 +42,9 @@ import os as _os
 
 T_EDGES = int(_os.environ.get("CARTNET_T_EDGES", "512"))  # edges per window
 C_DST = 128     # dst row band per window
+# band base-row alignment: 16 = the bf16 sublane tile, so banded-mode DMAs
+# (HBM node tables) start on tile boundaries; also valid for f32 (8)
+LO_ALIGN = 16
 # src row band per window: covers ONE crystal's node range when collate
 # aligns each graph's edge segment to T_EDGES (edge_align), so windows never
 # cross graphs. The src one-hot matmul is the kernel's dominant FLOP term
@@ -62,12 +65,13 @@ def edge_windows_ok(dst, src, mask, num_nodes: int,
     """Host-side soundness check + per-window band base rows.
 
     Returns (ok, dst_lo [nt], src_lo [nt], src_nblk [nt]); lo rows are
-    aligned down to 8 and clamped so the band stays inside [0, num_nodes]
-    (dst) respectively [0, num_src_nodes] (src — differs in halo mode, where
-    src indexes the [local ‖ recv] member table). ``src_nblk`` is the number
-    of SRC_BLK blocks the window's real src span covers (1..C_SRC/SRC_BLK);
-    the kernel skips the rest. Only REAL edges bind the span; pad edges
-    produce all-zero one-hot rows (masked downstream).
+    aligned down to LO_ALIGN and clamped so the band stays inside
+    [0, num_nodes] (dst) respectively [0, num_src_nodes] (src — differs in
+    halo mode, where src indexes the [local ‖ recv] member table).
+    ``src_nblk`` is the number of SRC_BLK blocks the window's real src span
+    covers (1..C_SRC/SRC_BLK); the kernel skips the rest. Only REAL edges
+    bind the span; pad edges produce all-zero one-hot rows (masked
+    downstream).
     """
     if num_src_nodes is None:
         num_src_nodes = num_nodes
@@ -81,6 +85,7 @@ def edge_windows_ok(dst, src, mask, num_nodes: int,
     src_lo = np.zeros(nt, np.int32)
     src_nblk = np.zeros(nt, np.int32)
     max_blk = band // SRC_BLK
+    al = LO_ALIGN
     for t in range(nt):
         sl = slice(t * T_EDGES, (t + 1) * T_EDGES)
         m = mask[sl]
@@ -88,12 +93,13 @@ def edge_windows_ok(dst, src, mask, num_nodes: int,
             continue
         d_real = dst[sl][m]
         s_real = src[sl][m]
-        dlo = min((int(d_real.min()) // 8) * 8, max(num_nodes - C_DST, 0))
+        dlo = min((int(d_real.min()) // al) * al,
+                  (max(num_nodes - C_DST, 0) // al) * al)
         if int(d_real.max()) - dlo >= C_DST:
             return False, None, None, None
         smax = int(s_real.max())
-        slo = min((int(s_real.min()) // 8) * 8,
-                  max(num_src_nodes - band, 0))
+        slo = min((int(s_real.min()) // al) * al,
+                  (max(num_src_nodes - band, 0) // al) * al)
         # fewest blocks covering the span, with every used block inside the
         # table (slo + SRC_BLK*nb <= num_src_nodes); clamping slo down can
         # grow the span by one block, so iterate
@@ -103,7 +109,7 @@ def edge_windows_ok(dst, src, mask, num_nodes: int,
                 return False, None, None, None
             if slo + SRC_BLK * nb <= num_src_nodes:
                 break
-            slo = ((num_src_nodes - SRC_BLK * nb) // 8) * 8
+            slo = ((num_src_nodes - SRC_BLK * nb) // al) * al
         dst_lo[t] = dlo
         src_lo[t] = slo
         src_nblk[t] = nb
@@ -132,18 +138,52 @@ def _onehot(ids, lo, c, dtype):
     return (cols == (ids - lo)[:, None]).astype(dtype)
 
 
-def _fwd_kernel(c_src, dlo_ref, slo_ref, nblk_ref, dids_ref, sids_ref,
-                emask_ref, xi_ref, xj_ref, e_ref, we_ref, b_ref, w1g_ref,
-                b1g_ref, w1a_ref, b1a_ref, gate_ref, sender_ref, pre_ref,
-                s1_ref, m2_ref, acc_ref):
+def _fwd_kernel(c_src, banded, dlo_ref, slo_ref, nblk_ref, dids_ref,
+                sids_ref, emask_ref, xi_ref, xj_ref, e_ref, we_ref, b_ref,
+                w1g_ref, b1g_ref, w1a_ref, b1a_ref, gate_ref, sender_ref,
+                pre_ref, s1_ref, m2_ref, acc_ref, *banded_scratch):
     t = pl.program_id(0)
     d = w1g_ref.shape[0]
-    dlo = pl.multiple_of(dlo_ref[t], 8)
-    slo = pl.multiple_of(slo_ref[t], 8)
-    cdt = xi_ref.dtype
+    dlo = pl.multiple_of(dlo_ref[t], LO_ALIGN)
+    slo = pl.multiple_of(slo_ref[t], LO_ALIGN)
+    cdt = e_ref.dtype
+    if banded:
+        # node tables stay in HBM (VMEM must not scale with N — VERDICT r3
+        # next #4): per window, double-buffered async DMAs stream just the
+        # [C_DST, 2d] dst band and [c_src, 2d] src band into VMEM scratch
+        # while the previous window computes
+        xi_buf, xj_buf, sem_i, sem_j = banded_scratch
+        nt = pl.num_programs(0)
+
+        def band_dmas(slot, w):
+            dw = pl.multiple_of(dlo_ref[w], LO_ALIGN)
+            sw = pl.multiple_of(slo_ref[w], LO_ALIGN)
+            return (pltpu.make_async_copy(
+                        xi_ref.at[pl.ds(dw, C_DST), :], xi_buf.at[slot],
+                        sem_i.at[slot]),
+                    pltpu.make_async_copy(
+                        xj_ref.at[pl.ds(sw, c_src), :], xj_buf.at[slot],
+                        sem_j.at[slot]))
+
+        @pl.when(t == 0)
+        def _():
+            for dma in band_dmas(0, 0):
+                dma.start()
+
+        @pl.when(t + 1 < nt)
+        def _():
+            for dma in band_dmas((t + 1) % 2, t + 1):
+                dma.start()
+
+        for dma in band_dmas(t % 2, t):
+            dma.wait()
+        xi_band = xi_buf[t % 2]
+        xj_band_ref = xj_buf.at[t % 2]
+    else:
+        xi_band = xi_ref[pl.ds(dlo, C_DST), :]
+        xj_band_ref = xj_ref.at[pl.ds(slo, c_src), :]
     oh_d = _onehot(dids_ref[t], dlo, C_DST, cdt)          # [T, C_DST]
-    gi = jnp.dot(oh_d, xi_ref[pl.ds(dlo, C_DST), :],
-                 preferred_element_type=jnp.float32)
+    gi = jnp.dot(oh_d, xi_band, preferred_element_type=jnp.float32)
     e_w = e_ref[...]                                      # [T, d]
     ew = jnp.dot(e_w, we_ref[...], preferred_element_type=jnp.float32)
     sids = sids_ref[t]
@@ -154,7 +194,7 @@ def _fwd_kernel(c_src, dlo_ref, slo_ref, nblk_ref, dids_ref, sids_ref,
     # 2026-08-21: 6.41M vs 6.12M edges/s), while the BACKWARD dxj block skip
     # below is pure win (no scratch). Keep the fwd skip behind the env flag
     # for shapes where nblk is mostly 1.
-    if _os.environ.get("CARTNET_SRC_SKIP", "0") == "1":
+    if _os.environ.get("CARTNET_SRC_SKIP", "0") == "1" and not banded:
         acc_ref[...] = gi + ew + b_ref[...].astype(jnp.float32)
         for k in range(c_src // SRC_BLK):
             @pl.when(nblk_ref[t] > k)
@@ -167,7 +207,7 @@ def _fwd_kernel(c_src, dlo_ref, slo_ref, nblk_ref, dids_ref, sids_ref,
         pre = acc_ref[...]
     else:  # register path: one unconditional c_src-wide one-hot dot
         oh_s = _onehot(sids, slo, c_src, cdt)
-        gj = jnp.dot(oh_s, xj_ref[pl.ds(slo, c_src), :],
+        gj = jnp.dot(oh_s, xj_band_ref[...],
                      preferred_element_type=jnp.float32)
         pre = gi + gj + ew + b_ref[...].astype(jnp.float32)
     h = jax.nn.silu(pre).astype(cdt)
@@ -200,22 +240,43 @@ def _fwd_kernel(c_src, dlo_ref, slo_ref, nblk_ref, dids_ref, sids_ref,
     m2_ref[pl.ds(t, 1), :] = jnp.sum(diff * diff, axis=0)[None, :]
 
 
-def _bwd_kernel(c_src, dlo_ref, slo_ref, nblk_ref, dids_ref, sids_ref,
-                emask_ref, e_ref, we_ref, b_ref, w1g_ref, b1g_ref,
+def _bwd_kernel(c_src, banded, dlo_ref, slo_ref, nblk_ref, dids_ref,
+                sids_ref, emask_ref, e_ref, we_ref, b_ref, w1g_ref, b1g_ref,
                 w1a_ref, b1a_ref, pre_saved_ref, gate_ref, meanw_ref,
                 ds1_ref, dm2_ref, dgate_ref, dsender_ref,
-                deres_ref, de_ref, dxi_ref, dxj_ref, dwe_ref, db_ref,
-                dw1g_ref, db1g_ref, dw1a_ref, db1a_ref):
+                deres_ref, de_ref, dxi_ref, dxj_ref,
+                dwe_ref, db_ref, dw1g_ref, db1g_ref, dw1a_ref, db1a_ref,
+                *banded_scratch):
     # NB: no xi/xj inputs — the backward never rereads the node tables
     # (pre is saved by the forward); keeping them resident wasted ~2 MB of
-    # VMEM that the pipeline buffers want
+    # VMEM that the pipeline buffers want.
+    # banded mode: dxi/dxj live in HBM (zeroed by chunked DMAs at t == 0);
+    # each window accumulates its banded partial via a read-modify-write
+    # DMA pair — VMEM stays O(window), not O(N)
     t = pl.program_id(0)
     d = w1g_ref.shape[0]
 
     @pl.when(t == 0)
     def _():
-        dxi_ref[...] = jnp.zeros_like(dxi_ref)
-        dxj_ref[...] = jnp.zeros_like(dxj_ref)
+        if banded:
+            dxi_buf, dxj_buf, sem_x = banded_scratch
+            dxi_buf[...] = jnp.zeros_like(dxi_buf)
+
+            def zero_chunks(ref, buf, sem, rows):
+                def zl(i, _):
+                    z = pltpu.make_async_copy(
+                        buf, ref.at[pl.ds(i * rows, rows), :], sem)
+                    z.start()
+                    z.wait()
+                    return 0
+                jax.lax.fori_loop(0, ref.shape[0] // rows, zl, 0)
+
+            zero_chunks(dxi_ref, dxi_buf, sem_x.at[0], C_DST)
+            dxj_buf[...] = jnp.zeros_like(dxj_buf)
+            zero_chunks(dxj_ref, dxj_buf, sem_x.at[1], SRC_BLK)
+        else:
+            dxi_ref[...] = jnp.zeros_like(dxi_ref)
+            dxj_ref[...] = jnp.zeros_like(dxj_ref)
         dwe_ref[...] = jnp.zeros_like(dwe_ref)
         db_ref[...] = jnp.zeros_like(db_ref)
         dw1g_ref[...] = jnp.zeros_like(dw1g_ref)
@@ -224,17 +285,29 @@ def _bwd_kernel(c_src, dlo_ref, slo_ref, nblk_ref, dids_ref, sids_ref,
         db1a_ref[...] = jnp.zeros_like(db1a_ref)
 
     cdt = e_ref.dtype
-    dlo = pl.multiple_of(dlo_ref[t], 8)
-    slo = pl.multiple_of(slo_ref[t], 8)
+    dlo = pl.multiple_of(dlo_ref[t], LO_ALIGN)
+    slo = pl.multiple_of(slo_ref[t], LO_ALIGN)
     dims_nt = (((1,), (1,)), ((), ()))
     dims_tt = (((0,), (0,)), ((), ()))
+
+    def _rmw(hbm_slice, buf, sem, partial):
+        """buf <- hbm_slice; buf += partial; hbm_slice <- buf (sequential —
+        consecutive windows' bands overlap, so no read-ahead is legal)."""
+        rd = pltpu.make_async_copy(hbm_slice, buf, sem)
+        rd.start()
+        rd.wait()
+        buf[...] += partial
+        wr = pltpu.make_async_copy(buf, hbm_slice, sem)
+        wr.start()
+        wr.wait()
 
     # CARTNET_BWD_SPLIT=1: process the window as independent halves so the
     # scheduler can overlap one half's VPU chain (sigmoid/silu'/corr) with
     # the other's MXU dots — the kernel runs at ~64% MXU and the gap tracks
     # the serial VPU phase (PERF_NOTES round-4 lead 1). Identical math up to
     # f32 accumulation order (contractions over T split in two).
-    n_halves = 2 if _os.environ.get("CARTNET_BWD_SPLIT", "0") == "1" else 1
+    n_halves = (2 if _os.environ.get("CARTNET_BWD_SPLIT", "0") == "1"
+                and not banded else 1)
     t_half = dgate_ref.shape[0] // n_halves
 
     for hs in range(n_halves):
@@ -267,8 +340,14 @@ def _bwd_kernel(c_src, dlo_ref, slo_ref, nblk_ref, dids_ref, sids_ref,
         h = h32.astype(cdt)
         oh_d = _onehot(dids_ref[t, rows], dlo, C_DST, cdt)
 
-        db1g_ref[...] += jnp.sum(dg, axis=0, dtype=jnp.float32)[None, :]
-        db1a_ref[...] += jnp.sum(ds, axis=0, dtype=jnp.float32)[None, :]
+        # CARTNET_BWD_XB=1: skip the in-kernel [T,d]->[1,d] bias-grad
+        # reductions (serial VPU work in an MXU-bound kernel); _ep_bwd then
+        # derives db1g/db1a outside from dgate/dsender + window moments
+        # (sum(dg) == sum(dgate_in) + n_w*ds1_w per window — the dm2 term
+        # telescopes to zero)
+        if _os.environ.get("CARTNET_BWD_XB", "0") != "1":
+            db1g_ref[...] += jnp.sum(dg, axis=0, dtype=jnp.float32)[None, :]
+            db1a_ref[...] += jnp.sum(ds, axis=0, dtype=jnp.float32)[None, :]
         # dW1 = h_slice^T @ dout  (contract over the T axis)
         dw1g_ref[...] += jax.lax.dot_general(
             h[:, :d], dg, dims_tt, preferred_element_type=jnp.float32)
@@ -294,17 +373,29 @@ def _bwd_kernel(c_src, dlo_ref, slo_ref, nblk_ref, dids_ref, sids_ref,
             e_w, dpre_c, dims_tt, preferred_element_type=jnp.float32)
         # banded scatter: dxi[band] += oh_d^T @ dpre; dxj per src block with
         # the same skip as the forward gather (disjoint row ranges per block)
-        dxi_ref[pl.ds(dlo, C_DST), :] += jax.lax.dot_general(
+        dxi_part = jax.lax.dot_general(
             oh_d, dpre_c, dims_tt, preferred_element_type=jnp.float32)
+        if banded:
+            dxi_buf, dxj_buf, sem_x = banded_scratch
+            _rmw(dxi_ref.at[pl.ds(dlo, C_DST), :], dxi_buf, sem_x.at[0],
+                 dxi_part)
+        else:
+            dxi_ref[pl.ds(dlo, C_DST), :] += dxi_part
         sids = sids_ref[t, rows]
         for k in range(c_src // SRC_BLK):
             @pl.when(nblk_ref[t] > k)
             def _(k=k, sids=sids, dpre_c=dpre_c):
                 blo = pl.multiple_of(slo + k * SRC_BLK, 8)
                 oh_k = _onehot(sids, blo, SRC_BLK, cdt)
-                dxj_ref[pl.ds(blo, SRC_BLK), :] += jax.lax.dot_general(
+                dxj_part = jax.lax.dot_general(
                     oh_k, dpre_c, dims_tt,
                     preferred_element_type=jnp.float32)
+                if banded:
+                    dxi_buf, dxj_buf, sem_x = banded_scratch
+                    _rmw(dxj_ref.at[pl.ds(blo, SRC_BLK), :], dxj_buf,
+                         sem_x.at[1], dxj_part)
+                else:
+                    dxj_ref[pl.ds(blo, SRC_BLK), :] += dxj_part
 
 
 def _specs(nt, n_i, n_j, e, d, t_win):
@@ -361,21 +452,32 @@ def edge_phase_fwd(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, emask,
          src_lo, src_nblk))
     nt, dids, sids = _prep(xi, xj, dst, src, dst_lo, src_lo)
     em2d = emask.reshape(nt, T_EDGES).astype(jnp.int32)
+    banded = not edge_tables_resident(n_i, n_j, d, xi.dtype.itemsize)
+    in_specs = _specs(nt, n_i, n_j, E, d, T_EDGES)
+    scratch = [pltpu.VMEM((T_EDGES, 2 * d), jnp.float32)]
+    if banded:
+        # node tables stay in HBM; the kernel streams per-window bands
+        in_specs[3] = pl.BlockSpec(memory_space=pltpu.ANY)  # xi
+        in_specs[4] = pl.BlockSpec(memory_space=pltpu.ANY)  # xj
+        scratch += [pltpu.VMEM((2, C_DST, 2 * d), xi.dtype),
+                    pltpu.VMEM((2, c_src, 2 * d), xi.dtype),
+                    pltpu.SemaphoreType.DMA((2,)),
+                    pltpu.SemaphoreType.DMA((2,))]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(nt,),
-        in_specs=_specs(nt, n_i, n_j, E, d, T_EDGES),
+        in_specs=in_specs,
         out_specs=[pl.BlockSpec((T_EDGES, d), lambda t, dlo, slo, nb: (t, 0)),
                    pl.BlockSpec((T_EDGES, d), lambda t, dlo, slo, nb: (t, 0)),
                    pl.BlockSpec((T_EDGES, 2 * d),
                                 lambda t, dlo, slo, nb: (t, 0)),
                    pl.BlockSpec((nt, d), lambda t, dlo, slo, nb: (0, 0)),
                    pl.BlockSpec((nt, d), lambda t, dlo, slo, nb: (0, 0))],
-        scratch_shapes=[pltpu.VMEM((T_EDGES, 2 * d), jnp.float32)],
+        scratch_shapes=scratch,
     )
     flops = 2 * E * (C_DST + c_src) * 2 * d + 2 * E * d * 2 * d * 2
     gate, sender, pre, s1w, m2w = pl.pallas_call(
-        functools.partial(_fwd_kernel, c_src),
+        functools.partial(_fwd_kernel, c_src, banded),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((E, d), xi.dtype, vma=vma),
                    jax.ShapeDtypeStruct((E, d), xi.dtype, vma=vma),
@@ -423,6 +525,17 @@ def edge_phase_bwd_call(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src,
     bwd_in = [spec for i, spec in
               enumerate(_specs(nt, n_i, n_j, E, d, T_EDGES))
               if i not in (3, 4)]  # drop the unused xi/xj node tables
+    banded = not edge_tables_resident(n_i, n_j, d, xi.dtype.itemsize)
+    if banded:
+        dxi_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        dxj_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        scratch = [pltpu.VMEM((C_DST, 2 * d), jnp.float32),
+                   pltpu.VMEM((SRC_BLK, 2 * d), jnp.float32),
+                   pltpu.SemaphoreType.DMA((2,))]
+    else:
+        dxi_spec = const((n_i, 2 * d))
+        dxj_spec = const((n_j, 2 * d))
+        scratch = []
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(nt,),
@@ -436,8 +549,8 @@ def edge_phase_bwd_call(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src,
                            win((T_EDGES, d))],      # deres
         out_specs=[
             win((T_EDGES, d)),        # de
-            const((n_i, 2 * d)),      # dxi (f32 accumulator)
-            const((n_j, 2 * d)),      # dxj
+            dxi_spec,                 # dxi (f32 accumulator)
+            dxj_spec,                 # dxj
             const((d, 2 * d)),        # dwe
             const((1, 2 * d)),        # db
             const((d, d)),            # dw1g
@@ -445,10 +558,11 @@ def edge_phase_bwd_call(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src,
             const((d, d)),            # dw1a
             const((1, d)),            # db1a
         ],
+        scratch_shapes=scratch,
     )
     flops = 3 * (2 * E * (C_DST + c_src) * 2 * d + 6 * E * d * 2 * d * 2)
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, c_src),
+        functools.partial(_bwd_kernel, c_src, banded),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((E, d), e.dtype, vma=vma),
@@ -521,6 +635,13 @@ def _ep_bwd(c_src, interpret, res, cts):
         xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, emask, dst_lo,
         src_lo, src_nblk, pre, gate, meanw, ds1w, dm2w,
         dgate, dsender, deres, c_src, interpret)
+    if _os.environ.get("CARTNET_BWD_XB", "0") == "1":
+        # bias grads outside the kernel (see _bwd_kernel note): one fused
+        # XLA reduce over arrays that stream from HBM anyway. Exact formula
+        # (not an approximation), so overriding the twin's value is a no-op
+        db1g = (jnp.sum(dgate, axis=0, dtype=jnp.float32)
+                + jnp.sum(n_w * ds1w.astype(jnp.float32), axis=0))[None, :]
+        db1a = jnp.sum(dsender, axis=0, dtype=jnp.float32)[None, :]
     # under shard_map every grad above is a per-member partial accumulated
     # over that member's edge windows; inputs replicated across mesh axes
     # (node tables over ep, weights over everything) need their partials
@@ -543,23 +664,40 @@ def _ep_bwd(c_src, interpret, res, cts):
 edge_phase.defvjp(_ep_fwd, _ep_bwd)
 
 
+def edge_tables_resident(n_i: int, n_j: int, dim: int,
+                         itemsize: int = 2) -> bool:
+    """True when the whole node tables (fwd) + f32 grad accumulators (bwd)
+    fit comfortably in VMEM — the fast path. Otherwise the kernels run in
+    BANDED mode: tables stay in HBM and each window DMAs just its bands
+    (VMEM O(window), any N)."""
+    d2 = 2 * dim
+    rows = n_i + n_j
+    vmem = (rows * d2 * itemsize            # fwd xi/xj resident
+            + rows * d2 * 4                 # bwd dxi/dxj f32 accumulators
+            + 3 * dim * d2 * 4              # weight grads
+            + 6 * T_EDGES * d2 * 4)         # window intermediates
+    return vmem < 14 * 1024 * 1024
+
+
 def edge_fuse_shapes_ok(num_edges: int, num_nodes: int, dim: int,
                         itemsize: int = 2, num_src_nodes: int = None,
                         c_src: int = None) -> bool:
-    """Static gate: window divisibility, lane alignment, VMEM budget.
+    """Static gate: window divisibility + lane alignment. No VMEM bound on
+    N any more — when the tables don't fit (edge_tables_resident False) the
+    kernels stream banded slices from HBM instead, which additionally needs
+    DMA-chunkable table sizes (multiples of the band quanta).
     ``num_src_nodes``: rows of the src table when it differs from the dst
     table (halo [local ‖ recv] layout)."""
     if num_src_nodes is None:
         num_src_nodes = num_nodes
     if c_src is None:
         c_src = C_SRC
-    d2 = 2 * dim
-    rows = num_nodes + num_src_nodes
-    vmem = (rows * d2 * itemsize            # xi/xj resident
-            + rows * d2 * 4                 # bwd dxi/dxj f32 accumulators
-            + 3 * dim * d2 * 4              # weight grads
-            + 6 * T_EDGES * d2 * 4)         # window intermediates
-    return (num_edges % T_EDGES == 0 and dim % 128 == 0
-            and num_nodes % 8 == 0 and num_src_nodes % 8 == 0
-            and num_nodes >= C_DST and num_src_nodes >= c_src
-            and vmem < 14 * 1024 * 1024)
+    ok = (num_edges % T_EDGES == 0 and dim % 128 == 0
+          and num_nodes % LO_ALIGN == 0 and num_src_nodes % LO_ALIGN == 0
+          and num_nodes >= C_DST and num_src_nodes >= c_src)
+    if ok and not edge_tables_resident(num_nodes, num_src_nodes, dim,
+                                       itemsize):
+        # banded mode: t==0 zero-loops walk the accumulators in band-sized
+        # chunks, and band DMAs must stay inside the tables
+        ok = (num_nodes % C_DST == 0 and num_src_nodes % SRC_BLK == 0)
+    return ok

@@ -35,12 +35,16 @@ T_EDGES = int(_os.environ.get("CARTNET_T_EDGES", "512"))  # edges per window
 C_WINDOW = 256  # node-row band per window
 
 
-def _seg_kernel(lo_ref, ids_ref, val_ref, out_ref):
+def _seg_kernel(banded, lo_ref, ids_ref, val_ref, out_ref, *banded_scratch):
     t = pl.program_id(0)
 
     @pl.when(t == 0)
     def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
+        if banded:
+            out_buf, sem = banded_scratch
+            _hbm_zero(out_ref, out_buf, sem)
+        else:
+            out_ref[:] = jnp.zeros_like(out_ref)
 
     lo = pl.multiple_of(lo_ref[t], 8)  # host-aligned to sublane multiple
     ids = ids_ref[t, :]  # [T] — ids resident as the full [nt, T] block
@@ -48,7 +52,12 @@ def _seg_kernel(lo_ref, ids_ref, val_ref, out_ref):
     onehot = (cols == ids[None, :]).astype(val_ref.dtype)     # [C, T]
     partial = jnp.dot(onehot, val_ref[:, :],
                       preferred_element_type=jnp.float32)      # [C, D]
-    out_ref[pl.ds(lo, C_WINDOW), :] += partial.astype(out_ref.dtype)
+    if banded:
+        out_buf, sem = banded_scratch
+        _hbm_rmw(out_ref.at[pl.ds(lo, C_WINDOW), :], out_buf, sem,
+                 partial.astype(out_ref.dtype))
+    else:
+        out_ref[pl.ds(lo, C_WINDOW), :] += partial.astype(out_ref.dtype)
 
 
 def segment_sum_sorted_window(values, ids_eff, num_segments: int,
@@ -70,9 +79,18 @@ def segment_sum_sorted_window(values, ids_eff, num_segments: int,
     values, ids_eff = pvary_to(values, vma), pvary_to(ids_eff, vma)
     # window base rows, aligned DOWN to the f32 sublane multiple (8) so the
     # dynamic accumulate offset is provably aligned for Mosaic
-    lo = ((ids_eff[::T_EDGES] // 8) * 8).astype(jnp.int32)
+    lo = ((ids_eff[::T_EDGES] // 16) * 16).astype(jnp.int32)
     ids2d = ids_eff.reshape(nt, T_EDGES).astype(jnp.int32)
 
+    banded = not seg_table_resident(num_segments, D)
+    if banded:
+        out_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        scratch = [pltpu.VMEM((C_WINDOW, D), values.dtype),
+                   pltpu.SemaphoreType.DMA(())]
+    else:
+        out_spec = pl.BlockSpec((num_segments + C_WINDOW, D),
+                                lambda t, lo_ref: (0, 0))
+        scratch = []
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nt,),
@@ -80,11 +98,11 @@ def segment_sum_sorted_window(values, ids_eff, num_segments: int,
             pl.BlockSpec((nt, T_EDGES), lambda t, lo_ref: (0, 0)),
             pl.BlockSpec((T_EDGES, D), lambda t, lo_ref: (t, 0)),
         ],
-        out_specs=pl.BlockSpec((num_segments + C_WINDOW, D),
-                               lambda t, lo_ref: (0, 0)),
+        out_specs=out_spec,
+        scratch_shapes=scratch,
     )
     out = pl.pallas_call(
-        _seg_kernel,
+        functools.partial(_seg_kernel, banded),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_segments + C_WINDOW, D),
                                        values.dtype, vma=vma),
@@ -98,11 +116,23 @@ def segment_sum_sorted_window(values, ids_eff, num_segments: int,
     return out[:num_segments]
 
 
-def pallas_shapes_ok(num_edges: int, dim: int, num_segments: int) -> bool:
-    """Static shape gate: window divisibility, lane alignment, VMEM budget."""
+def seg_table_resident(num_segments: int, dim: int) -> bool:
+    """True when the [num_segments + C, dim] f32 aggregate fits comfortably
+    VMEM-resident (fast path); otherwise the kernels run BANDED — the
+    aggregate lives in HBM and each window read-modify-writes just its
+    band (VMEM O(window), any N)."""
     vmem = (num_segments + C_WINDOW) * dim * 4 + 2 * T_EDGES * dim * 4
-    return (num_edges % T_EDGES == 0 and dim % 128 == 0
-            and vmem < 10 * 1024 * 1024)
+    return vmem < 10 * 1024 * 1024
+
+
+def pallas_shapes_ok(num_edges: int, dim: int, num_segments: int) -> bool:
+    """Static shape gate: window divisibility + lane alignment. No VMEM
+    bound on num_segments — big aggregates switch to the banded HBM mode,
+    which additionally needs a 128-row-chunkable table for the zero loop."""
+    ok = num_edges % T_EDGES == 0 and dim % 128 == 0
+    if ok and not seg_table_resident(num_segments, dim):
+        ok = num_segments % 128 == 0
+    return ok
 
 
 def on_tpu() -> bool:
@@ -133,14 +163,43 @@ def on_tpu() -> bool:
 # the same windows), halving the scatter one-hot MXU cost.
 
 
-def _sigma_seg_kernel(c_window, lo_ref, ids_ref, gate_ref, scale_ref,
+def _hbm_zero(ref, buf, sem, rows: int = 128):
+    """Zero an HBM f32 ref by streaming a zeroed VMEM chunk over it."""
+    buf[...] = jnp.zeros_like(buf)
+
+    def zl(i, _):
+        z = pltpu.make_async_copy(buf.at[pl.ds(0, rows), :],
+                                  ref.at[pl.ds(i * rows, rows), :], sem)
+        z.start()
+        z.wait()
+        return 0
+    jax.lax.fori_loop(0, ref.shape[0] // rows, zl, 0)
+
+
+def _hbm_rmw(hbm_slice, buf, sem, partial):
+    """buf <- hbm_slice; buf += partial; hbm_slice <- buf. Sequential —
+    consecutive windows' bands overlap, so no read-ahead is legal."""
+    rd = pltpu.make_async_copy(hbm_slice, buf, sem)
+    rd.start()
+    rd.wait()
+    buf[...] += partial
+    wr = pltpu.make_async_copy(buf, hbm_slice, sem)
+    wr.start()
+    wr.wait()
+
+
+def _sigma_seg_kernel(c_window, banded, lo_ref, ids_ref, gate_ref, scale_ref,
                       shift_ref, env_ref, sender_ref, ein_ref,
-                      eout_ref, out_ref):
+                      eout_ref, out_ref, *banded_scratch):
     t = pl.program_id(0)
 
     @pl.when(t == 0)
     def _():
-        out_ref[...] = jnp.zeros_like(out_ref)
+        if banded:
+            out_buf, sem = banded_scratch
+            _hbm_zero(out_ref, out_buf, sem)
+        else:
+            out_ref[...] = jnp.zeros_like(out_ref)
 
     lo = pl.multiple_of(lo_ref[t], 8)
     g = gate_ref[...].astype(jnp.float32)
@@ -154,13 +213,18 @@ def _sigma_seg_kernel(c_window, lo_ref, ids_ref, gate_ref, scale_ref,
     cols = jax.lax.broadcasted_iota(jnp.int32, (c_window, T_EDGES), 0) + lo
     onehot = (cols == ids[None, :]).astype(vals.dtype)
     partial = jnp.dot(onehot, vals, preferred_element_type=jnp.float32)
-    out_ref[pl.ds(lo, c_window), :] += partial.astype(out_ref.dtype)
+    if banded:
+        out_buf, sem = banded_scratch
+        _hbm_rmw(out_ref.at[pl.ds(lo, c_window), :], out_buf, sem, partial)
+    else:
+        out_ref[pl.ds(lo, c_window), :] += partial.astype(out_ref.dtype)
 
 
-def _sigma_seg_bwd_kernel(c_window, lo_ref, ids_ref, gate_ref, scale_ref,
-                          shift_ref, env_ref, sender_ref, dsigma_ref,
-                          daggr_ref, dgate_ref, dscale_ref, dshift_ref,
-                          denv_ref, dsender_ref):
+def _sigma_seg_bwd_kernel(c_window, banded, lo_ref, ids_ref, gate_ref,
+                          scale_ref, shift_ref, env_ref, sender_ref,
+                          dsigma_ref, daggr_ref, dgate_ref, dscale_ref,
+                          dshift_ref, denv_ref, dsender_ref,
+                          *banded_scratch):
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -169,6 +233,27 @@ def _sigma_seg_bwd_kernel(c_window, lo_ref, ids_ref, gate_ref, scale_ref,
         dshift_ref[...] = jnp.zeros_like(dshift_ref)
 
     lo = pl.multiple_of(lo_ref[t], 8)
+    if banded:
+        # daggr stays in HBM; double-buffered band reads (read-only — safe
+        # to prefetch ahead, unlike the fwd RMW)
+        dbuf, dsem = banded_scratch
+        nt = pl.num_programs(0)
+
+        def band_dma(slot, w):
+            lw = pl.multiple_of(lo_ref[w], 8)
+            return pltpu.make_async_copy(
+                daggr_ref.at[pl.ds(lw, c_window), :], dbuf.at[slot],
+                dsem.at[slot])
+
+        @pl.when(t == 0)
+        def _():
+            band_dma(0, 0).start()
+
+        @pl.when(t + 1 < nt)
+        def _():
+            band_dma((t + 1) % 2, t + 1).start()
+
+        band_dma(t % 2, t).wait()
     g = gate_ref[...].astype(jnp.float32)
     a = g * scale_ref[...] + shift_ref[...]
     sig0 = jax.nn.sigmoid(a)
@@ -177,7 +262,7 @@ def _sigma_seg_bwd_kernel(c_window, lo_ref, ids_ref, gate_ref, scale_ref,
     ids = ids_ref[t, :]
     cols = jax.lax.broadcasted_iota(jnp.int32, (T_EDGES, c_window), 1) + lo
     onehot = (cols == ids[:, None]).astype(daggr_ref.dtype)  # [T, C]
-    dband = daggr_ref[pl.ds(lo, c_window), :]
+    dband = dbuf[t % 2] if banded else daggr_ref[pl.ds(lo, c_window), :]
     dvals = jnp.dot(onehot, dband,
                     preferred_element_type=jnp.float32)      # [T, d]
     sender = sender_ref[...].astype(jnp.float32)
@@ -224,18 +309,26 @@ def _sigma_fwd_call(gate, scale, shift, env, sender, e_in, ids_eff, lo,
     ids2d = ids_eff.reshape(nt, T_EDGES).astype(jnp.int32)
     win = lambda shape: pl.BlockSpec(shape, lambda t, lo: (t, 0))
     const = lambda shape: pl.BlockSpec(shape, lambda t, lo: (0, 0))
+    banded = not seg_table_resident(num_segments, d)
+    if banded:
+        out_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        scratch = [pltpu.VMEM((c_window, d), jnp.float32),
+                   pltpu.SemaphoreType.DMA(())]
+    else:
+        out_spec = pl.BlockSpec((num_segments + c_window, d),
+                                lambda t, lo: (0, 0))
+        scratch = []
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nt,),
         in_specs=[const((nt, T_EDGES)), win((T_EDGES, d)), const((1, d)),
                   const((1, d)), win((T_EDGES, 1)), win((T_EDGES, d)),
                   win((T_EDGES, d))],
-        out_specs=[win((T_EDGES, d)),
-                   pl.BlockSpec((num_segments + c_window, d),
-                                lambda t, lo: (0, 0))],
+        out_specs=[win((T_EDGES, d)), out_spec],
+        scratch_shapes=scratch,
     )
     e_out, out = pl.pallas_call(
-        functools.partial(_sigma_seg_kernel, c_window),
+        functools.partial(_sigma_seg_kernel, c_window, banded),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((E, d), e_in.dtype, vma=vma),
                    jax.ShapeDtypeStruct((num_segments + c_window, d),
@@ -287,22 +380,30 @@ def _sigma_bwd(num_segments, c_window, interpret, res, cts):
     ids2d = ids_v.reshape(nt, T_EDGES).astype(jnp.int32)
     win = lambda shape: pl.BlockSpec(shape, lambda t, lo: (t, 0))
     const = lambda shape: pl.BlockSpec(shape, lambda t, lo: (0, 0))
+    banded = not seg_table_resident(num_segments, d)
+    if banded:
+        daggr_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        scratch = [pltpu.VMEM((2, c_window, d), daggr.dtype),
+                   pltpu.SemaphoreType.DMA((2,))]
+    else:
+        daggr_spec = pl.BlockSpec((num_segments + c_window, d),
+                                  lambda t, lo: (0, 0))
+        scratch = []
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nt,),
         in_specs=[const((nt, T_EDGES)), win((T_EDGES, d)), const((1, d)),
                   const((1, d)), win((T_EDGES, 1)), win((T_EDGES, d)),
-                  win((T_EDGES, d)),
-                  pl.BlockSpec((num_segments + c_window, d),
-                               lambda t, lo: (0, 0))],
+                  win((T_EDGES, d)), daggr_spec],
         out_specs=[win((T_EDGES, d)), const((1, d)), const((1, d)),
                    win((T_EDGES, 1)), win((T_EDGES, d))],
+        scratch_shapes=scratch,
     )
     # pad daggr into the spill region the forward sliced off
     daggr_full = jnp.zeros((num_segments + c_window, d), daggr.dtype)
     daggr_full = pvary_to(daggr_full, vma).at[:num_segments].set(daggr)
     dgate, dscale, dshift, denv, dsender = pl.pallas_call(
-        functools.partial(_sigma_seg_bwd_kernel, c_window),
+        functools.partial(_sigma_seg_bwd_kernel, c_window, banded),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((E, d), gate.dtype, vma=vma),
                    jax.ShapeDtypeStruct((1, d), jnp.float32, vma=vma),

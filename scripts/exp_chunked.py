@@ -45,12 +45,15 @@ def main():
     align = 512
     rnd = lambda v, m: -(-v // m) * m
 
-    def build(graphs, seed=0):
+    def build(graphs, seed=0, k=1):
         recs = [bandwidth_reorder(r) for r in
                 synthetic_dataset(graphs, mean_atoms=194, radius=5.0,
                                   adp=True, seed=seed)]
-        n = rnd(sum(len(r["z"]) for r in recs), 128)
-        e = rnd(sum(rnd(len(r["edge_src"]), align) for r in recs), 512)
+        # chunk packing needs ~half-a-crystal of pad slack per chunk
+        # (PERF_NOTES r3) so graph-snapped cuts exist
+        n = rnd(sum(len(r["z"]) for r in recs) + k * 256, 128 * max(k, 1))
+        e = rnd(sum(rnd(len(r["edge_src"]), align) for r in recs)
+                + k * 6144, 512 * max(k, 1))
         cfg = Config(
             model=ModelConfig(dim_in=dim, dim_rbf=64, num_layers=layers,
                               cholesky=True, compute_dtype=jnp.bfloat16),
@@ -60,7 +63,7 @@ def main():
         return cfg, batch
 
     def run_chunked(graphs, k, label):
-        cfg, batch = build(graphs)
+        cfg, batch = build(graphs, k=k)
         real_edges = float(np.asarray(batch.edge_mask).sum())
         cb = to_chunked(batch, k)
         n_per, e_per = cb.z.shape[1], cb.edge_src.shape[1]
@@ -103,6 +106,48 @@ def main():
                 loop(args.iters)
         return eps
 
+    def run_flat(graphs, label, mean_atoms=194):
+        import jax.numpy as jnp
+        from cartnet_tpu.models.cartnet import kernels_active
+        from cartnet_tpu.train.loop import make_fused_chunk, stack_batches
+        recs = [bandwidth_reorder(r) for r in
+                synthetic_dataset(graphs, mean_atoms=mean_atoms, radius=5.0,
+                                  adp=True, seed=0)]
+        al = align if mean_atoms > 50 else 0
+        n = rnd(sum(len(r["z"]) for r in recs), 128)
+        e = rnd(sum(rnd(max(len(r["edge_src"]), 1), max(al, 1)) for r in recs),
+                512)
+        cfg = Config(
+            model=ModelConfig(dim_in=dim, dim_rbf=64, num_layers=layers,
+                              cholesky=True, compute_dtype=jnp.bfloat16),
+            data=DataConfig(max_nodes=n, max_edges=e, max_graphs=graphs),
+            optim=OptimConfig(lr=1e-3, batch_accumulation=16))
+        batch = collate(recs, n, e, graphs, edge_align=al)
+        real_edges = float(np.asarray(batch.edge_mask).sum())
+        from cartnet_tpu.ops.pallas.edge_kernels import edge_tables_resident
+        print(f"{label}: N={n} E={e} fill={real_edges / e:.2f} "
+              f"kernels_active={kernels_active(batch, dim)} "
+              f"resident={edge_tables_resident(n, n, dim)}", flush=True)
+        batch = jax.tree.map(jnp.asarray, batch)
+        opt = build_optimizer(cfg, 100)
+        state = init_train_state(jax.random.key(0), cfg, cartnet_init, opt)
+        iters = 32
+        stacked = stack_batches([batch] * iters)
+        fused = make_fused_chunk(cfg, cartnet_apply, opt, iters)
+        state, _ = fused(state, stacked)
+        jax.block_until_ready(state.params)
+        np.asarray(state.step)
+        eps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            state, _ = fused(state, stacked)
+            jax.block_until_ready(state.params)
+            np.asarray(state.step)
+            eps.append(real_edges * iters / (time.perf_counter() - t0))
+        print(f"{label}: " + " ".join(f"{x/1e6:.2f}M" for x in eps), flush=True)
+
+    run_flat(32, "graphs=32 FLAT (banded kernels)")
+    run_flat(64, "jarvis-style batch=64 FLAT", mean_atoms=12)
     run_chunked(32, args.k, f"graphs=32 chunks={args.k}")
     run_chunked(4, 1, "graphs=4 chunks=1 (sanity)")
 
