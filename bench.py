@@ -121,6 +121,12 @@ def main():
         per_layer = 5 * max_edges + 8 * real_nodes
         n_l = 3 if model_name == "ecomformer" else 4
     flops_fwd = n_l * per_layer * dim * dim * 2
+    # + the edge-feature encoder MLP ([E, rbf+3] -> 2d -> d), run once per
+    # step — real per-edge GEMM work the reference model does too
+    # (models/cartnet.py:128-136); rounds 1-3 omitted it from the SOL
+    # denominator, understating the roofline by ~15%
+    dim_edge = 64 + 3
+    flops_fwd += max_edges * (dim_edge * 2 * dim + 2 * dim * dim) * 2
     flops_step = 3 * flops_fwd
     peak = _peak_flops(jax.devices()[0])
     sol_edges_per_sec = real_edges / (flops_step / peak)

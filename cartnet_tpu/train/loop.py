@@ -299,7 +299,12 @@ def make_fused_chunk(cfg: Config, model_apply, optimizer, num_steps: int):
 
     @functools.partial(jax.jit, donate_argnums=0)
     def chunk(state: TrainState, stacked_batches: CrystalBatch):
-        return lax.scan(one, state, stacked_batches, length=num_steps)
+        # scan unrolling reduces while-loop bookkeeping (~45 us/step self
+        # time at bench shapes) and lets XLA overlap adjacent micro-steps
+        import os
+        unroll = int(os.environ.get("CARTNET_SCAN_UNROLL", "1"))
+        return lax.scan(one, state, stacked_batches, length=num_steps,
+                        unroll=unroll)
 
     return chunk
 
@@ -423,7 +428,10 @@ def make_fused_steps(cfg: Config, model_apply, optimizer, num_steps: int):
 
     @functools.partial(jax.jit, donate_argnums=0)
     def fused(state: TrainState, stacked_batches: CrystalBatch):
-        return lax.scan(one, state, stacked_batches, length=num_steps)
+        import os
+        unroll = int(os.environ.get("CARTNET_SCAN_UNROLL", "1"))
+        return lax.scan(one, state, stacked_batches, length=num_steps,
+                        unroll=unroll)
 
     return fused
 

@@ -20,6 +20,8 @@ def main():
     ap.add_argument("--model", default="cartnet")
     ap.add_argument("--outdir", default="/tmp/xp_model")
     ap.add_argument("--iters", type=int, default=64)
+    ap.add_argument("--graphs", type=int, default=4)
+    ap.add_argument("--mean-atoms", type=int, default=194)
     args = ap.parse_args()
 
     import jax
@@ -33,11 +35,12 @@ def main():
     from cartnet_tpu.train.loop import (build_optimizer, init_train_state,
                                         make_fused_chunk, stack_batches)
 
-    dim, layers, graphs = 256, 4, 4
+    dim, layers, graphs = 256, 4, args.graphs
     recs = [bandwidth_reorder(r) for r in
-            synthetic_dataset(8, mean_atoms=194, radius=5.0, adp=True, seed=0)]
+            synthetic_dataset(2 * graphs, mean_atoms=args.mean_atoms,
+                              radius=5.0, adp=True, seed=0)]
     groups = [recs[i * graphs:(i + 1) * graphs] for i in range(2)]
-    align = 512
+    align = 512 if args.mean_atoms > 50 else 0
     rnd = lambda v, m: -(-v // m) * m
     cfg = Config(
         model=ModelConfig(name=args.model, dim_in=dim, dim_rbf=64,
@@ -45,7 +48,7 @@ def main():
                           compute_dtype=jnp.bfloat16),
         data=DataConfig(
             max_nodes=rnd(max(sum(len(r["z"]) for r in g) for g in groups), 128),
-            max_edges=rnd(max(sum(rnd(len(r["edge_src"]), align) for r in g)
+            max_edges=rnd(max(sum(rnd(len(r["edge_src"]), max(align, 1)) for r in g)
                               for g in groups), 512),
             max_graphs=graphs),
         optim=OptimConfig(lr=1e-3, batch_accumulation=16))
