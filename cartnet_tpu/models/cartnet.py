@@ -128,6 +128,22 @@ def layer_init(key, cfg: ModelConfig):
     return p, {"bn": bn_s, "bn2": bn2_s}
 
 
+def _merged_proj(p, x, d):
+    """Merged first-layer weight blocks + node projections shared by the
+    fused paths: wi/wj stack the gate & aggregate MLPs' dst/src blocks so
+    one [N, 2d] projection per endpoint serves both MLPs (see
+    _dual_edge_mlp)."""
+    wg, bg = p["mlp_gate"]["lin0"]["w"], p["mlp_gate"]["lin0"]["b"]
+    wa, ba = p["mlp_aggr"]["lin0"]["w"], p["mlp_aggr"]["lin0"]["b"]
+    wi = jnp.concatenate([wg[:d], wa[:d]], axis=1)
+    wj = jnp.concatenate([wg[d:2 * d], wa[d:2 * d]], axis=1)
+    we = jnp.concatenate([wg[2 * d:], wa[2 * d:]], axis=1)
+    b = jnp.concatenate([bg, ba])
+    xi = jnp.dot(x, wi, preferred_element_type=x.dtype)
+    xj = jnp.dot(x, wj, preferred_element_type=x.dtype)
+    return xi, xj, we, b
+
+
 def _dual_edge_mlp(p, x, e, batch: CrystalBatch,
                    ep_axis: Optional[str] = None):
     """Both per-edge MLPs (gate & aggregate) with merged projections.
@@ -293,15 +309,57 @@ def layer_apply(p, state, x, e, batch: CrystalBatch, cfg: ModelConfig,
     halo = batch.halo_send_idx is not None
     # e_res == e, passed through the (possibly fused) edge op so the residual
     # backward add folds into its de output (ops/pallas/edge_kernels.py);
-    # s1w/m2w are the kernel's per-window BN moment partials (None when the
-    # kernel didn't run)
-    gate, sender, e_res, s1w, m2w = _dual_edge_mlp(p, x, e, batch, ep_axis)
-
     env = None
     if cfg.use_envelope:
         env = (envelope if envelope is not None else
                rbf_ops.cosine_cutoff(batch.cart_dist.astype(x.dtype),
                                      cfg.radius))
+
+    # flagship train path: ONE op spanning edge MLPs -> in-kernel BN moments
+    # -> sigma/scatter, with a MERGED backward (the sigma backward runs as a
+    # prologue of the edge backward kernel — no [E,d] dgate/dsender HBM
+    # round trips, two fewer serial kernel links per layer)
+    import os as _os
+    from cartnet_tpu.ops import dispatch
+    d = x.shape[-1]
+    if (training and not halo
+            and _os.environ.get("CARTNET_KBN", "1") == "1"
+            and dispatch.edge_fuse_active(
+                batch.num_edges, batch.num_nodes, d, x.dtype.itemsize,
+                c_src=batch.src_band,
+                plans=batch.edge_fuse_ok and batch.edge_dst_lo is not None)
+            and dispatch.sigma_active(
+                batch.num_edges, d, batch.num_nodes,
+                seg_ok=batch.pallas_seg_ok,
+                interpret_ok=_FORCE_SIGMA_INTERPRET)):
+        from cartnet_tpu.nn.norm import bn_state_update
+        from cartnet_tpu.ops.pallas import edge_kernels as ek
+        from cartnet_tpu.ops.pallas.segment_kernels import on_tpu
+        xi, xj, we, b = _merged_proj(p, x, d)
+        env_col = (env[:, None] if env is not None
+                   else jnp.ones((batch.num_edges, 1), x.dtype))
+        e_out, aggr, mean, var, n = ek.fused_edge_sigma(
+            xi, xj, e, we, b,
+            p["mlp_gate"]["lin1"]["w"], p["mlp_gate"]["lin1"]["b"],
+            p["mlp_aggr"]["lin1"]["w"], p["mlp_aggr"]["lin1"]["b"],
+            p["bn"]["gamma"], p["bn"]["beta"], env_col,
+            batch.edge_dst, batch.edge_src, batch.edge_mask,
+            batch.edge_dst_lo, batch.edge_src_lo, batch.edge_src_nblk,
+            batch.src_band, ek.C_DST, cfg.bn_eps, edge_stat_axes,
+            not on_tpu())
+        bn_s = bn_state_update(state["bn"], mean, var, n, cfg.bn_momentum)
+        if ep_axis is not None:
+            aggr = jax.lax.psum(aggr, ep_axis)
+        aggr, bn2_s = masked_batch_norm(p["bn2"], state["bn2"], aggr,
+                                        batch.node_mask, training=training,
+                                        momentum=cfg.bn_momentum,
+                                        eps=cfg.bn_eps,
+                                        axis_names=node_stat_axes)
+        return jax.nn.silu(aggr) + x_in, e_out, {"bn": bn_s, "bn2": bn2_s}
+
+    # s1w/m2w are the kernel's per-window BN moment partials (None when the
+    # kernel didn't run)
+    gate, sender, e_res, s1w, m2w = _dual_edge_mlp(p, x, e, batch, ep_axis)
 
     sigma_fused = False
     if batch.pallas_seg_ok:

@@ -26,6 +26,43 @@ def batch_norm_init(dim: int, dtype=jnp.float32):
     return params, state
 
 
+def combine_window_moments(gamma, beta, s1w, m2w, n_w, *, eps: float = 1e-5,
+                           axis_names=()):
+    """Differentiable core of bn_scale_shift_from_window_moments: per-window
+    Welford partials -> BN (scale, shift). Factored so the merged-backward
+    edge/sigma op can jax.vjp it (ops/pallas/edge_kernels.py). ``n_w``
+    [nt, 1] real-edge counts per window (non-differentiable)."""
+    n = jnp.sum(n_w)
+    s1 = jnp.sum(s1w, axis=0)
+    if axis_names:
+        n = jax.lax.psum(n, axis_names)
+        s1 = jax.lax.psum(s1, axis_names)
+    n = jnp.maximum(n, 1.0)
+    mean = s1 / n
+    mean_w = s1w / jnp.maximum(n_w, 1.0)
+    m2 = jnp.sum(m2w + n_w * jnp.square(mean_w - mean), axis=0)
+    if axis_names:
+        m2 = jax.lax.psum(m2, axis_names)
+    var = m2 / n
+    inv = jnp.reciprocal(jnp.sqrt(var + eps))
+    scale = gamma * inv
+    shift = beta - mean * scale
+    return (scale, shift), (mean, var, n)
+
+
+def bn_state_update(state, mean, var, n, momentum: float = 0.1):
+    """Running-stat update from batch moments (PyTorch momentum semantics,
+    unbiased variance) — the stop-gradient tail shared by the scale/shift
+    helpers and the merged edge/sigma op."""
+    sg = jax.lax.stop_gradient
+    unbiased = sg(var) * (n / jnp.maximum(n - 1.0, 1.0))
+    return {
+        "mean": (1.0 - momentum) * state["mean"] + momentum * sg(mean),
+        "var": (1.0 - momentum) * state["var"] + momentum * unbiased,
+        "count": state["count"] + 1,
+    }
+
+
 def masked_bn_scale_shift(params, state, x, mask, *, training: bool,
                           momentum: float = 0.1, eps: float = 1e-5,
                           axis_names=()):
@@ -86,21 +123,9 @@ def bn_scale_shift_from_window_moments(params, state, s1w, m2w, mask, *,
     """
     nt = s1w.shape[0]
     n_w = mask.reshape(nt, -1).sum(axis=1, dtype=jnp.float32)[:, None]
-    n = jnp.sum(n_w)
-    s1 = jnp.sum(s1w, axis=0)
-    if axis_names:
-        n = jax.lax.psum(n, axis_names)
-        s1 = jax.lax.psum(s1, axis_names)
-    n = jnp.maximum(n, 1.0)
-    mean = s1 / n
-    mean_w = s1w / jnp.maximum(n_w, 1.0)
-    m2 = jnp.sum(m2w + n_w * jnp.square(mean_w - mean), axis=0)
-    if axis_names:
-        m2 = jax.lax.psum(m2, axis_names)
-    var = m2 / n
-    inv = jnp.reciprocal(jnp.sqrt(var + eps))
-    scale = params["gamma"] * inv
-    shift = params["beta"] - mean * scale
+    (scale, shift), (mean, var, n) = combine_window_moments(
+        params["gamma"], params["beta"], s1w, m2w, n_w, eps=eps,
+        axis_names=tuple(axis_names))
     sg = jax.lax.stop_gradient
     unbiased = sg(var) * (n / jnp.maximum(n - 1.0, 1.0))
     new_state = {

@@ -664,6 +664,405 @@ def _ep_bwd(c_src, interpret, res, cts):
 edge_phase.defvjp(_ep_fwd, _ep_bwd)
 
 
+# ------------------------------------------------- merged edge+BN+sigma op
+
+def _merged_bwd_call(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, emask,
+                     dst_lo, src_lo, src_nblk, pre, gate, sender, env2d,
+                     scale, shift, meanw, ds1w, dm2w, deout, daggr,
+                     c_src: int, interpret: bool):
+    n_i, d2 = xi.shape
+    n_j = xj.shape[0]
+    d = d2 // 2
+    E = e.shape[0]
+    vma = vma_union(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, emask,
+                    dst_lo, src_lo, src_nblk, pre, gate, sender, env2d,
+                    scale, shift, meanw, ds1w, dm2w, deout, daggr)
+    (xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, emask, dst_lo, src_lo,
+     src_nblk, pre, gate, sender, env2d, scale, shift, meanw, ds1w, dm2w,
+     deout, daggr) = (
+        pvary_to(a, vma) for a in
+        (xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, emask, dst_lo,
+         src_lo, src_nblk, pre, gate, sender, env2d, scale, shift, meanw,
+         ds1w, dm2w, deout, daggr))
+    nt, dids, sids = _prep(xi, xj, dst, src, dst_lo, src_lo)
+    em2d = emask.reshape(nt, T_EDGES).astype(jnp.int32)
+    win = lambda shape: pl.BlockSpec(shape, lambda t, dlo, slo, nb: (t, 0))
+    const = lambda shape: pl.BlockSpec(shape, lambda t, dlo, slo, nb: (0, 0))
+    bwd_in = [spec for i, spec in
+              enumerate(_specs(nt, n_i, n_j, E, d, T_EDGES))
+              if i not in (3, 4)]
+    banded = not edge_tables_resident(n_i, n_j, d, xi.dtype.itemsize)
+    from cartnet_tpu.ops.pallas.segment_kernels import seg_table_resident
+    seg_res = seg_table_resident(n_i, d)
+    scratch = []
+    if banded:
+        dxi_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        dxj_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        scratch += [pltpu.VMEM((C_DST, 2 * d), jnp.float32),
+                    pltpu.VMEM((SRC_BLK, 2 * d), jnp.float32),
+                    pltpu.SemaphoreType.DMA((2,))]
+    else:
+        dxi_spec = const((n_i, 2 * d))
+        dxj_spec = const((n_j, 2 * d))
+    if seg_res:
+        daggr_spec = const((n_i, d))
+    else:
+        daggr_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        scratch += [pltpu.VMEM((C_DST, d), daggr.dtype),
+                    pltpu.SemaphoreType.DMA(())]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nt,),
+        in_specs=bwd_in + [win((T_EDGES, 2 * d)),   # pre
+                           win((T_EDGES, d)),       # gate
+                           win((T_EDGES, d)),       # sender
+                           win((T_EDGES, 1)),       # env
+                           const((1, d)),           # scale
+                           const((1, d)),           # shift
+                           const((nt, d)),          # mean_w
+                           const((nt, d)),          # ds1_w
+                           const((nt, d)),          # dm2_w
+                           win((T_EDGES, d)),       # deout
+                           daggr_spec],             # daggr [n_i, d]
+        out_specs=[
+            win((T_EDGES, d)),        # de
+            dxi_spec, dxj_spec,
+            const((d, 2 * d)),        # dwe
+            const((1, 2 * d)),        # db
+            const((d, d)),            # dw1g
+            const((1, d)),            # db1g
+            const((d, d)),            # dw1a
+            const((1, d)),            # db1a
+        ],
+        scratch_shapes=scratch,
+    )
+    flops = 3 * (2 * E * (C_DST + c_src) * 2 * d + 6 * E * d * 2 * d * 2)
+    outs = pl.pallas_call(
+        functools.partial(_bwd_merged_kernel, c_src, banded, seg_res),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((E, d), e.dtype, vma=vma),
+            jax.ShapeDtypeStruct((n_i, 2 * d), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((n_j, 2 * d), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((d, 2 * d), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((1, 2 * d), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((d, d), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((1, d), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((d, d), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((1, d), jnp.float32, vma=vma),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=E * d * 8 * xi.dtype.itemsize,
+            transcendentals=E * 3 * d),
+    )(dst_lo, src_lo, src_nblk, dids, sids, em2d, e,
+      we, b.reshape(1, -1), w1g, b1g.reshape(1, -1), w1a, b1a.reshape(1, -1),
+      pre, gate, sender, env2d, scale.reshape(1, -1).astype(jnp.float32),
+      shift.reshape(1, -1).astype(jnp.float32), meanw.astype(jnp.float32),
+      ds1w.astype(jnp.float32), dm2w.astype(jnp.float32), deout, daggr)
+    return outs
+
+
+def _fes_plain(xi, xj, e, we, b, w1g, b1g, w1a, b1a, gamma, beta, env2d,
+               dst, src, emask, dst_lo, src_lo, src_nblk, c_src, c_win,
+               eps, axes, interpret):
+    """Unmerged composition (edge_phase -> combine -> sigma_segsum): the
+    reference semantics the merged op must match; also the dispatch target
+    under interpret+vma (CPU meshes) and for CARTNET_MERGED=0 A/Bs."""
+    from cartnet_tpu.nn.norm import combine_window_moments
+    from cartnet_tpu.ops.pallas.segment_kernels import sigma_segsum
+    gate, sender, e_res, s1w, m2w = edge_phase(
+        xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, emask,
+        dst_lo, src_lo, src_nblk, c_src, interpret)
+    nt = s1w.shape[0]
+    n_w = emask.reshape(nt, -1).sum(axis=1, dtype=jnp.float32)[:, None]
+    (scale, shift), (mean, var, n) = combine_window_moments(
+        gamma, beta, s1w, m2w, n_w, eps=eps, axis_names=axes)
+    N = xi.shape[0]
+    ids_eff = jnp.where(emask, dst, N).astype(jnp.int32)
+    lo = ((ids_eff[::T_EDGES] // 16) * 16).astype(jnp.int32)
+    e_out, aggr = sigma_segsum(gate, scale, shift, env2d.astype(gate.dtype),
+                               sender, e_res, ids_eff, lo, N, c_win,
+                               interpret)
+    return e_out, aggr, mean, var, n
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(18, 19, 20, 21, 22))
+def _fes_op(xi, xj, e, we, b, w1g, b1g, w1a, b1a, gamma, beta, env2d,
+            dst, src, emask, dst_lo, src_lo, src_nblk, c_src, c_win,
+            eps, axes, interpret):
+    out, _ = _fes_fwd(xi, xj, e, we, b, w1g, b1g, w1a, b1a, gamma, beta,
+                      env2d, dst, src, emask, dst_lo, src_lo, src_nblk,
+                      c_src, c_win, eps, axes, interpret)
+    return out
+
+
+def _fes_fwd(xi, xj, e, we, b, w1g, b1g, w1a, b1a, gamma, beta, env2d,
+             dst, src, emask, dst_lo, src_lo, src_nblk, c_src, c_win,
+             eps, axes, interpret):
+    from cartnet_tpu.nn.norm import combine_window_moments
+    from cartnet_tpu.ops.pallas.segment_kernels import _sigma_fwd_call
+    gate, sender, pre, s1w, m2w = edge_phase_fwd(
+        xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, emask,
+        dst_lo, src_lo, src_nblk, c_src, interpret)
+    nt = s1w.shape[0]
+    n_w = emask.reshape(nt, -1).sum(axis=1, dtype=jnp.float32)[:, None]
+    (scale, shift), (mean, var, n) = combine_window_moments(
+        gamma, beta, s1w, m2w, n_w, eps=eps, axis_names=axes)
+    N = xi.shape[0]
+    ids_eff = jnp.where(emask, dst, N).astype(jnp.int32)
+    lo = ((ids_eff[::T_EDGES] // 16) * 16).astype(jnp.int32)
+    e_out, aggr = _sigma_fwd_call(gate, scale, shift,
+                                  env2d.astype(gate.dtype), sender, e,
+                                  ids_eff, lo, N, c_win, interpret)
+    res = (xi, xj, e, we, b, w1g, b1g, w1a, b1a, gamma, beta, env2d, dst,
+           src, emask, dst_lo, src_lo, src_nblk, pre, gate, sender, s1w,
+           m2w, scale, shift)
+    return (e_out, aggr, mean, var, n), res
+
+
+def _fes_bwd(c_src, c_win, eps, axes, interpret, res, cts):
+    from cartnet_tpu.nn.norm import combine_window_moments
+    (xi, xj, e, we, b, w1g, b1g, w1a, b1a, gamma, beta, env2d, dst, src,
+     emask, dst_lo, src_lo, src_nblk, pre, gate, sender, s1w, m2w, scale,
+     shift) = res
+    deout, daggr, _, _, _ = cts   # mean/var/n feed stop-gradient state only
+    N = xi.shape[0]
+    nt = s1w.shape[0]
+    n_w = emask.reshape(nt, -1).sum(axis=1, dtype=jnp.float32)[:, None]
+    maskf = emask.astype(jnp.float32)[:, None]
+
+    # phase A': the BN backward's global-sum barrier — dscale/dshift need
+    # all edges' da before any dgate can be formed. One fused XLA reduce.
+    g32 = gate.astype(jnp.float32)
+    sig0 = jax.nn.sigmoid(g32 * scale.astype(jnp.float32)
+                          + shift.astype(jnp.float32))
+    env32 = env2d.astype(jnp.float32)
+    safe = jnp.minimum(dst, N - 1)
+    dvals = jnp.take(daggr, safe, axis=0).astype(jnp.float32) * maskf
+    da = ((deout.astype(jnp.float32) + dvals * sender.astype(jnp.float32))
+          * env32 * sig0 * (1.0 - sig0))
+    dscale = jnp.sum(da * g32, axis=0)
+    dshift = jnp.sum(da, axis=0)
+    vma = vma_union(deout, daggr, xi, xj, e)
+    dscale = psum_to(dscale, gamma, vma)
+    dshift = psum_to(dshift, gamma, vma)
+
+    # combine backward: (dscale, dshift) -> dgamma/dbeta + the per-window
+    # moment cotangents the merged kernel folds into dgate
+    def comb(gm, bt, s1, m2):
+        return combine_window_moments(gm, bt, s1, m2, n_w, eps=eps,
+                                      axis_names=axes)[0]
+
+    _, comb_vjp = jax.vjp(comb, gamma, beta, s1w, m2w)
+    dgamma, dbeta, ds1w, dm2w = comb_vjp((dscale.astype(scale.dtype),
+                                          dshift.astype(shift.dtype)))
+
+    meanw = s1w / jnp.maximum(n_w, 1.0)
+    (de, dxi, dxj, dwe, db, dw1g, db1g, dw1a, db1a) = _merged_bwd_call(
+        xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, emask, dst_lo,
+        src_lo, src_nblk, pre, gate, sender, env2d, scale, shift, meanw,
+        ds1w, dm2w, deout, daggr, c_src, interpret)
+
+    de = psum_to(de, e, vma)
+    dxi, dxj = psum_to(dxi, xi, vma), psum_to(dxj, xj, vma)
+    dwe, db = psum_to(dwe, we, vma), psum_to(db, b, vma)
+    dw1g, db1g = psum_to(dw1g, w1g, vma), psum_to(db1g, b1g, vma)
+    dw1a, db1a = psum_to(dw1a, w1a, vma), psum_to(db1a, b1a, vma)
+    f0 = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+    return (dxi.astype(xi.dtype), dxj.astype(xj.dtype), de,
+            dwe.astype(we.dtype), db.reshape(-1).astype(b.dtype),
+            dw1g.astype(w1g.dtype), db1g.reshape(-1).astype(b1g.dtype),
+            dw1a.astype(w1a.dtype), db1a.reshape(-1).astype(b1a.dtype),
+            dgamma, dbeta, jnp.zeros_like(env2d),
+            f0(dst), f0(src), f0(emask), f0(dst_lo), f0(src_lo),
+            None if src_nblk is None else f0(src_nblk))
+
+
+_fes_op.defvjp(_fes_fwd, _fes_bwd)
+
+
+def fused_edge_sigma(xi, xj, e, we, b, w1g, b1g, w1a, b1a, gamma, beta,
+                     env2d, dst, src, emask, dst_lo, src_lo, src_nblk,
+                     c_src: int, c_win: int, eps: float, axes=(),
+                     interpret: bool = False):
+    """Whole fused CartNet message phase with a MERGED backward: edge MLPs
+    (window kernel) -> train-mode BN scale/shift from in-kernel Welford
+    moments -> sigmoid-gate + envelope + residual + windowed scatter.
+    Returns (e_out, aggr, mean, var, n) — mean/var/n feed the (stop-grad)
+    running-stat update outside.
+
+    MEASURED SLOWER than the unmerged composition (6.03M vs 6.63M edges/s
+    in-process A/B, 2026-08-21): the BN two-phase barrier forces phase A'
+    to re-read gate/sender/deout (~50 us/layer of added traffic) while the
+    kernels are COMPUTE-bound, so the saved dgate/dsender round trips never
+    pay. Default CARTNET_MERGED=0 keeps the unmerged path; the merged op
+    stays available (tests pin its correctness) for stream-bound regimes.
+
+    Under interpret+vma (CPU meshes) dispatches to the unmerged composition
+    (whose kernels dispatch to their jnp twins).
+    """
+    axes = tuple(axes)
+    vma = vma_union(xi, xj, e, emask)
+    if ((interpret and vma)
+            or _os.environ.get("CARTNET_MERGED", "0") != "1"):
+        return _fes_plain(xi, xj, e, we, b, w1g, b1g, w1a, b1a, gamma, beta,
+                          env2d, dst, src, emask, dst_lo, src_lo, src_nblk,
+                          c_src, c_win, eps, axes, interpret)
+    return _fes_op(xi, xj, e, we, b, w1g, b1g, w1a, b1a, gamma, beta, env2d,
+                   dst, src, emask, dst_lo, src_lo, src_nblk, c_src, c_win,
+                   eps, axes, interpret)
+
+
+def _bwd_merged_kernel(c_src, banded, seg_res, dlo_ref, slo_ref, nblk_ref,
+                       dids_ref, sids_ref, emask_ref, e_ref, we_ref, b_ref,
+                       w1g_ref, b1g_ref, w1a_ref, b1a_ref, pre_saved_ref,
+                       gate_ref, sender_ref, env_ref, scale_ref, shift_ref,
+                       meanw_ref, ds1_ref, dm2_ref, deout_ref, daggr_ref,
+                       de_ref, dxi_ref, dxj_ref, dwe_ref, db_ref,
+                       dw1g_ref, db1g_ref, dw1a_ref, db1a_ref,
+                       *banded_scratch):
+    """Merged sigma+edge backward: the per-layer bwd chain used to be
+    sigma-bwd kernel -> HBM dgate/dsender -> edge-bwd kernel. Here the sigma
+    backward (daggr gather, gate chain) runs as a prologue of the edge
+    backward, in-window — no [E, d] dgate/dsender round trips and two fewer
+    serial kernel links per layer. dscale/dshift (the BN two-phase barrier)
+    are computed OUTSIDE (one fused XLA reduce) and arrive folded into the
+    ds1/dm2 window cotangents."""
+    t = pl.program_id(0)
+    d = w1g_ref.shape[0]
+
+    @pl.when(t == 0)
+    def _():
+        if banded:
+            dxi_buf, dxj_buf, sem_x = banded_scratch[:3]
+            dxi_buf[...] = jnp.zeros_like(dxi_buf)
+
+            def zero_chunks(ref, buf, sem, rows):
+                def zl(i, _):
+                    z = pltpu.make_async_copy(
+                        buf, ref.at[pl.ds(i * rows, rows), :], sem)
+                    z.start()
+                    z.wait()
+                    return 0
+                jax.lax.fori_loop(0, ref.shape[0] // rows, zl, 0)
+
+            zero_chunks(dxi_ref, dxi_buf, sem_x.at[0], C_DST)
+            dxj_buf[...] = jnp.zeros_like(dxj_buf)
+            zero_chunks(dxj_ref, dxj_buf, sem_x.at[1], SRC_BLK)
+        else:
+            dxi_ref[...] = jnp.zeros_like(dxi_ref)
+            dxj_ref[...] = jnp.zeros_like(dxj_ref)
+        dwe_ref[...] = jnp.zeros_like(dwe_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+        dw1g_ref[...] = jnp.zeros_like(dw1g_ref)
+        db1g_ref[...] = jnp.zeros_like(db1g_ref)
+        dw1a_ref[...] = jnp.zeros_like(dw1a_ref)
+        db1a_ref[...] = jnp.zeros_like(db1a_ref)
+
+    cdt = e_ref.dtype
+    dlo = pl.multiple_of(dlo_ref[t], LO_ALIGN)
+    slo = pl.multiple_of(slo_ref[t], LO_ALIGN)
+    dims_nt = (((1,), (1,)), ((), ()))
+    dims_tt = (((0,), (0,)), ((), ()))
+
+    def _rmw(hbm_slice, buf, sem, partial):
+        rd = pltpu.make_async_copy(hbm_slice, buf, sem)
+        rd.start()
+        rd.wait()
+        buf[...] += partial
+        wr = pltpu.make_async_copy(buf, hbm_slice, sem)
+        wr.start()
+        wr.wait()
+
+    # ---- sigma backward prologue (in-window)
+    ids = dids_ref[t]
+    mask_w = emask_ref[t] > 0
+    mf = mask_w.astype(jnp.float32)[:, None]
+    g32 = gate_ref[...].astype(jnp.float32)
+    sig0 = jax.nn.sigmoid(g32 * scale_ref[...] + shift_ref[...])
+    env32 = env_ref[...].astype(jnp.float32)                   # [T, 1]
+    # daggr gather over the dst band: pad edges carry out-of-band ids in the
+    # one-hot (masked to an id no band column matches) -> zero rows, exactly
+    # like the standalone sigma bwd's spill-region gather
+    ids_eff = jnp.where(mask_w, ids, jnp.int32(2 ** 30))
+    cols = jax.lax.broadcasted_iota(jnp.int32,
+                                    (ids.shape[0], C_DST), 1) + dlo
+    oh_a = (cols == ids_eff[:, None])
+    if seg_res:
+        dband = daggr_ref[pl.ds(dlo, C_DST), :]
+    else:
+        dbuf, dsem = banded_scratch[-2:]
+        rd = pltpu.make_async_copy(daggr_ref.at[pl.ds(dlo, C_DST), :], dbuf,
+                                   dsem)
+        rd.start()
+        rd.wait()
+        dband = dbuf[...]
+    dvals = jnp.dot(oh_a.astype(dband.dtype), dband,
+                    preferred_element_type=jnp.float32)        # [T, d]
+    sender32 = sender_ref[...].astype(jnp.float32)
+    deout32 = deout_ref[...].astype(jnp.float32)
+    dsig = deout32 + dvals * sender32
+    da = dsig * env32 * sig0 * (1.0 - sig0)
+    ds = (dvals * sig0 * env32).astype(cdt)
+    # fold the BN-moment cotangents (which carry the dscale/dshift barrier,
+    # combined outside) into dgate
+    corr = (ds1_ref[pl.ds(t, 1), :]
+            + 2.0 * dm2_ref[pl.ds(t, 1), :]
+            * (g32 - meanw_ref[pl.ds(t, 1), :]))
+    dg = (da * scale_ref[...] + mf * corr).astype(cdt)
+
+    # ---- edge backward (identical to _bwd_kernel's tail)
+    dh_g = jax.lax.dot_general(dg, w1g_ref[...], dims_nt,
+                               preferred_element_type=jnp.float32)
+    dh_a = jax.lax.dot_general(ds, w1a_ref[...], dims_nt,
+                               preferred_element_type=jnp.float32)
+    pre = pre_saved_ref[...].astype(jnp.float32)
+    sig = jax.nn.sigmoid(pre)
+    h32 = pre * sig
+    h = h32.astype(cdt)
+    oh_d = _onehot(ids, dlo, C_DST, cdt)
+    db1g_ref[...] += jnp.sum(dg, axis=0, dtype=jnp.float32)[None, :]
+    db1a_ref[...] += jnp.sum(ds, axis=0, dtype=jnp.float32)[None, :]
+    dw1g_ref[...] += jax.lax.dot_general(
+        h[:, :d], dg, dims_tt, preferred_element_type=jnp.float32)
+    dw1a_ref[...] += jax.lax.dot_general(
+        h[:, d:], ds, dims_tt, preferred_element_type=jnp.float32)
+    dh = jnp.concatenate([dh_g, dh_a], axis=1)
+    dpre = dh * (sig + h32 * (1.0 - sig))
+    dpre_c = dpre.astype(cdt)
+    db_ref[...] += jnp.sum(dpre, axis=0)[None, :]
+    # d(e): the residual term (e_out = e + sigma) + the e@We term
+    de_ref[...] = (deout32 + jax.lax.dot_general(
+        dpre_c, we_ref[...], dims_nt,
+        preferred_element_type=jnp.float32)).astype(de_ref.dtype)
+    dwe_ref[...] += jax.lax.dot_general(
+        e_ref[...], dpre_c, dims_tt, preferred_element_type=jnp.float32)
+    dxi_part = jax.lax.dot_general(
+        oh_d, dpre_c, dims_tt, preferred_element_type=jnp.float32)
+    if banded:
+        dxi_buf, dxj_buf, sem_x = banded_scratch[:3]
+        _rmw(dxi_ref.at[pl.ds(dlo, C_DST), :], dxi_buf, sem_x.at[0],
+             dxi_part)
+    else:
+        dxi_ref[pl.ds(dlo, C_DST), :] += dxi_part
+    sids = sids_ref[t]
+    for k in range(c_src // SRC_BLK):
+        @pl.when(nblk_ref[t] > k)
+        def _(k=k):
+            blo = pl.multiple_of(slo + k * SRC_BLK, 8)
+            oh_k = _onehot(sids, blo, SRC_BLK, cdt)
+            dxj_part = jax.lax.dot_general(
+                oh_k, dpre_c, dims_tt, preferred_element_type=jnp.float32)
+            if banded:
+                dxi_buf, dxj_buf, sem_x = banded_scratch[:3]
+                _rmw(dxj_ref.at[pl.ds(blo, SRC_BLK), :], dxj_buf,
+                     sem_x.at[1], dxj_part)
+            else:
+                dxj_ref[pl.ds(blo, SRC_BLK), :] += dxj_part
+
+
 def edge_tables_resident(n_i: int, n_j: int, dim: int,
                          itemsize: int = 2) -> bool:
     """True when the whole node tables (fwd) + f32 grad accumulators (bwd)

@@ -297,12 +297,59 @@ def make_fused_chunk(cfg: Config, model_apply, optimizer, num_steps: int):
         return state, {"loss": loss * v, "MAE": mae * v, "MSE": mse * v,
                        "valid": v}
 
+    def one_nocond(state: TrainState, batch: CrystalBatch):
+        # nested-accumulation inner body: no per-micro-step lax.cond around
+        # the optimizer (the outer scan applies it unconditionally every
+        # ``accum`` iterations — the reference's own cadence counts
+        # ITERATIONS, not valid micro-batches: train/train.py:186)
+        valid = jnp.any(batch.graph_mask)
+        (loss, (mae, mse, new_bn, _, _)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.bn_state, batch,
+                                   model_apply, cfg, True)
+        bad = jnp.asarray(False)
+        if cfg.guard.enabled:
+            from cartnet_tpu.train.guard import guard_contribution
+            ok, grads, new_bn = guard_contribution(loss, grads, new_bn,
+                                                   state.bn_state)
+            bad = valid & ~ok
+            valid = valid & ok
+        v = valid.astype(jnp.float32)
+        grads = jax.tree.map(
+            lambda g: jnp.where(valid, g, jnp.zeros_like(g)), grads)
+        new_bn = jax.tree.map(lambda a, b: jnp.where(valid, a, b),
+                              new_bn, state.bn_state)
+        acc = jax.tree.map(jnp.add, state.grad_accum, grads)
+        state = state.replace(bn_state=new_bn, grad_accum=acc,
+                              accum_count=state.accum_count
+                              + valid.astype(jnp.int32),
+                              bad_steps=state.bad_steps
+                              + bad.astype(jnp.int32))
+        return state, {"loss": loss * v, "MAE": mae * v, "MSE": mse * v,
+                       "valid": v}
+
     @functools.partial(jax.jit, donate_argnums=0)
     def chunk(state: TrainState, stacked_batches: CrystalBatch):
         # scan unrolling reduces while-loop bookkeeping (~45 us/step self
         # time at bench shapes) and lets XLA overlap adjacent micro-steps
         import os
         unroll = int(os.environ.get("CARTNET_SCAN_UNROLL", "1"))
+        nested = (os.environ.get("CARTNET_NESTED_ACCUM", "0") == "1"
+                  and accum > 1 and num_steps % accum == 0)
+        if nested:
+            def outer(state, group):
+                state, stats = lax.scan(one_nocond, state, group,
+                                        length=accum)
+                return apply_update(state), stats
+
+            grouped = jax.tree.map(
+                lambda a: a.reshape((num_steps // accum, accum)
+                                    + a.shape[1:]),
+                stacked_batches)
+            state, stats = lax.scan(outer, state, grouped,
+                                    length=num_steps // accum)
+            stats = jax.tree.map(
+                lambda a: a.reshape((num_steps,) + a.shape[2:]), stats)
+            return state, stats
         return lax.scan(one, state, stacked_batches, length=num_steps,
                         unroll=unroll)
 
