@@ -134,16 +134,27 @@ def main():
         iters = 32
         stacked = stack_batches([batch] * iters)
         fused = make_fused_chunk(cfg, cartnet_apply, opt, iters)
+        half = make_fused_chunk(cfg, cartnet_apply, opt, iters // 2)
+        hstacked = jax.tree.map(lambda a: a[:iters // 2], stacked)
         state, _ = fused(state, stacked)
         jax.block_until_ready(state.params)
+        np.asarray(state.step)
+        state, _ = half(state, hstacked)
         np.asarray(state.step)
         eps = []
         for _ in range(3):
             t0 = time.perf_counter()
+            state, _ = half(state, hstacked)
+            jax.block_until_ready(state.params)
+            np.asarray(state.step)
+            t1 = time.perf_counter()
             state, _ = fused(state, stacked)
             jax.block_until_ready(state.params)
             np.asarray(state.step)
-            eps.append(real_edges * iters / (time.perf_counter() - t0))
+            t2 = time.perf_counter()
+            # two-point: cancels the per-dispatch tunnel floor (bench.py)
+            eps.append(real_edges * (iters - iters // 2)
+                       / ((t2 - t1) - (t1 - t0)))
         print(f"{label}: " + " ".join(f"{x/1e6:.2f}M" for x in eps), flush=True)
 
     run_flat(32, "graphs=32 FLAT (banded kernels)")
