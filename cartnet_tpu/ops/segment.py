@@ -37,6 +37,48 @@ def masked_segment_sum(values, segment_ids, mask, num_segments: int, *,
     return segment_sum(values * m, segment_ids, num_segments, sorted_ids=sorted_ids)
 
 
+import functools
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def masked_segment_sum_by_perm(values, segment_ids, mask, perm, ids_sorted,
+                               num_segments: int):
+    """Masked segment-sum over UNSORTED ids with zero scatters.
+
+    ``perm`` sorts the ids (ids[perm] == ids_sorted, host-precomputed).
+    Forward: gather-by-perm (fast) + sorted segment-sum. Backward: the
+    transpose of a scatter is a GATHER — d(values) = d(out)[ids] * mask, so
+    neither direction ever hits XLA's serial unsorted scatter (~1 ms for a
+    [21k, 40] scatter on v5e; both directions here are ~tens of us).
+    """
+    vs = jnp.asarray(values).at[perm].get(mode="promise_in_bounds")
+    ms = jnp.asarray(mask).at[perm].get(mode="promise_in_bounds")
+    m = ms.astype(values.dtype).reshape(
+        ms.shape + (1,) * (values.ndim - ms.ndim))
+    return jax.ops.segment_sum(vs * m, ids_sorted,
+                               num_segments=num_segments,
+                               indices_are_sorted=True)
+
+
+def _mssp_perm_fwd(values, segment_ids, mask, perm, ids_sorted, num_segments):
+    out = masked_segment_sum_by_perm(values, segment_ids, mask, perm,
+                                     ids_sorted, num_segments)
+    return out, (segment_ids, mask, perm, ids_sorted)
+
+
+def _mssp_perm_bwd(num_segments, res, ct):
+    import numpy as np
+    segment_ids, mask, perm, ids_sorted = res
+    m = mask.astype(ct.dtype).reshape(
+        mask.shape + (1,) * (ct.ndim - mask.ndim))
+    dvalues = ct.at[segment_ids].get(mode="promise_in_bounds") * m
+    f0 = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+    return (dvalues, f0(segment_ids), f0(mask), f0(perm), f0(ids_sorted))
+
+
+masked_segment_sum_by_perm.defvjp(_mssp_perm_fwd, _mssp_perm_bwd)
+
+
 def masked_segment_mean(values, segment_ids, mask, num_segments: int, *,
                         sorted_ids: bool = False):
     """Mean over real elements per segment (pad-safe denominator)."""
