@@ -133,6 +133,16 @@ def plan_edge_windows(dst, src, mask, num_nodes: int,
     return False, None, None, None, C_SRC
 
 
+def _compiler_params():
+    """Optional Mosaic VMEM-budget override (CARTNET_VMEM_LIMIT_MB): a
+    larger scoped budget lets the pipeliner double-buffer more of the
+    windowed streams. None -> compiler default."""
+    mb = _os.environ.get("CARTNET_VMEM_LIMIT_MB")
+    if not mb:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=int(mb) * 1024 * 1024)
+
+
 def _onehot(ids, lo, c, dtype):
     cols = jax.lax.broadcasted_iota(jnp.int32, (ids.shape[0], c), 1)
     return (cols == (ids - lo)[:, None]).astype(dtype)
@@ -479,6 +489,7 @@ def edge_phase_fwd(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, emask,
     gate, sender, pre, s1w, m2w = pl.pallas_call(
         functools.partial(_fwd_kernel, c_src, banded),
         grid_spec=grid_spec,
+        compiler_params=_compiler_params(),
         out_shape=[jax.ShapeDtypeStruct((E, d), xi.dtype, vma=vma),
                    jax.ShapeDtypeStruct((E, d), xi.dtype, vma=vma),
                    jax.ShapeDtypeStruct((E, 2 * d), xi.dtype, vma=vma),
@@ -564,6 +575,7 @@ def edge_phase_bwd_call(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src,
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, c_src, banded),
         grid_spec=grid_spec,
+        compiler_params=_compiler_params(),
         out_shape=[
             jax.ShapeDtypeStruct((E, d), e.dtype, vma=vma),
             jax.ShapeDtypeStruct((n_i, 2 * d), jnp.float32, vma=vma),

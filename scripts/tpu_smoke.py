@@ -109,6 +109,38 @@ def main():
         print("FAIL: non-finite loss in sharded step", flush=True)
         return 1
 
+    # --- phase 3: banded (HBM-streamed) kernel mode — big flat batch whose
+    # tables exceed VMEM, exercising the DMA zero/RMW/band paths compiled
+    recs3 = [bandwidth_reorder(r) for r in
+             synthetic_dataset(16, mean_atoms=194, radius=5.0, adp=True,
+                               seed=1)]
+    n3 = rnd(sum(len(r["z"]) for r in recs3), 128)
+    e3 = rnd(sum(rnd(len(r["edge_src"]), align) for r in recs3), 512)
+    from cartnet_tpu.ops.pallas.edge_kernels import edge_tables_resident
+    cfg3 = Config(
+        model=ModelConfig(dim_in=dim, dim_rbf=64, num_layers=2,
+                          cholesky=True, compute_dtype=jnp.bfloat16),
+        data=DataConfig(max_nodes=n3, max_edges=e3, max_graphs=16),
+        optim=OptimConfig(lr=1e-3, batch_accumulation=1))
+    b3 = collate(recs3, n3, e3, 16, edge_align=align)
+    if edge_tables_resident(n3, n3, dim) or not b3.edge_fuse_ok:
+        print("FAIL: phase-3 batch did not land in banded mode "
+              f"(resident={edge_tables_resident(n3, n3, dim)}, "
+              f"fuse={b3.edge_fuse_ok})", flush=True)
+        return 1
+    b3 = jax.tree.map(jnp.asarray, b3)
+    st3 = init_train_state(jax.random.key(2), cfg3, cartnet_init, opt3 :=
+                           build_optimizer(cfg3, 100))
+    f3 = make_fused_steps(cfg3, cartnet_apply, opt3, 2)
+    t0 = time.perf_counter()
+    st3, stats3 = f3(st3, stack_batches([b3, b3]))
+    l3 = np.asarray(stats3["loss"])
+    print(f"phase 3 banded step: {time.perf_counter() - t0:.1f}s, "
+          f"loss[0]={l3.ravel()[0]:.4f}", flush=True)
+    if not np.all(np.isfinite(l3)):
+        print("FAIL: non-finite loss in banded step", flush=True)
+        return 1
+
     print("TPU SMOKE OK", flush=True)
     return 0
 
