@@ -348,9 +348,20 @@ def icomformer_apply(params, state, batch: CrystalBatch, cfg: ModelConfig,
     G = batch.num_graphs
     cell = batch.cell.astype(dt)                                 # [G,3,3]
     row_norm_g = jnp.linalg.norm(cell, axis=-1)                  # [G,3]
-    gid_e = batch.graph_id[batch.edge_src]                       # [E]
-    oh_g = (gid_e[:, None]
-            == jnp.arange(G, dtype=gid_e.dtype)[None, :]).astype(dt)
+    # per-edge graph id WITHOUT a gather (xprof: the s32 graph_id[src]
+    # gather ran ~100 us/step serial): PBC edges never cross crystals, so
+    # the edge's graph is the one whose node range contains dst — a
+    # vectorized searchsorted over the G per-graph start rows
+    N = batch.num_nodes
+    narange = jnp.arange(N, dtype=jnp.int32)
+    garange = jnp.arange(G, dtype=jnp.int32)
+    starts = jnp.min(
+        jnp.where((batch.graph_id[:, None] == garange[None, :])
+                  & batch.node_mask[:, None], narange[:, None], N),
+        axis=0)                                                  # [G]
+    gid_e = (jnp.searchsorted(starts, batch.edge_dst, side="right")
+             - 1).astype(jnp.int32)
+    oh_g = (gid_e[:, None] == garange[None, :]).astype(dt)
     row_norm = jnp.dot(oh_g, row_norm_g,
                        preferred_element_type=dt)                # [E,3]
     nei_len_feat = -0.75 / jnp.maximum(row_norm, 1e-6)

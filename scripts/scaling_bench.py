@@ -130,8 +130,12 @@ def main():
                 from cartnet_tpu.ops.pallas.edge_kernels import T_EDGES
                 hint = min(s.halo_interior_nt for s in slices_t)
                 nt_per = b0.edge_src.shape[0] // ep // T_EDGES
-                hidden_frac = (hint / max(nt_per, 1)
-                               if b0.edge_fuse_ok else 1.0 - boundary_frac)
+                if comms == 0:
+                    hidden_frac = 1.0  # nothing to hide (graph-snapped cuts)
+                elif b0.edge_fuse_ok:
+                    hidden_frac = hint / max(nt_per, 1)
+                else:
+                    hidden_frac = 1.0 - boundary_frac  # unfused overlap path
             else:
                 slices_t = slices
                 comms = (int(2 * (ep - 1) / ep * n_per_slice * dim * 4)
