@@ -141,6 +141,23 @@ def main():
         print("FAIL: non-finite loss in banded step", flush=True)
         return 1
 
+    # --- phase 4: banded kernels under shard_map (vma-tagged + DMA paths
+    # together) — a 1x1 mesh on the single chip compiles the real thing
+    sharded3 = stack_for_shards([b3], ep=1)
+    if not sharded3.edge_fuse_ok:
+        print("FAIL: phase-4 sharded batch lost fuse plans", flush=True)
+        return 1
+    pmicro3, _, _ = make_parallel_steps(cfg3, cartnet_apply, opt3, mesh)
+    st4 = init_train_state(jax.random.key(3), cfg3, cartnet_init, opt3)
+    t0 = time.perf_counter()
+    st4, pstats3 = pmicro3(st4, sharded3)
+    l4 = float(np.asarray(pstats3["loss"]))
+    print(f"phase 4 banded shard_map step: {time.perf_counter() - t0:.1f}s, "
+          f"loss={l4:.4f}", flush=True)
+    if not np.isfinite(l4):
+        print("FAIL: non-finite loss in banded sharded step", flush=True)
+        return 1
+
     print("TPU SMOKE OK", flush=True)
     return 0
 
