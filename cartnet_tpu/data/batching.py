@@ -80,7 +80,10 @@ def bandwidth_reorder(record: dict) -> dict:
     out["z"] = np.asarray(record["z"])[perm]
     out["pos"] = np.asarray(record["pos"])[perm]
     y = np.asarray(record["y"])
-    if y.ndim >= 1 and y.shape[0] == n:  # per-atom targets ride with their atom
+    # Per-atom targets (ADP [n,3,3]) ride with their atom. ndim >= 2 guards
+    # against a per-graph VECTOR target whose length coincidentally equals n
+    # (e.g. a 3-component property on a 3-atom crystal) being scrambled.
+    if y.ndim >= 2 and y.shape[0] == n:
         out["y"] = y[perm]
     out["edge_src"] = inv[src]
     out["edge_dst"] = inv[dst]

@@ -359,8 +359,15 @@ def icomformer_apply(params, state, batch: CrystalBatch, cfg: ModelConfig,
         jnp.where((batch.graph_id[:, None] == garange[None, :])
                   & batch.node_mask[:, None], narange[:, None], N),
         axis=0)                                                  # [G]
-    gid_e = (jnp.searchsorted(starts, batch.edge_dst, side="right")
-             - 1).astype(jnp.int32)
+    # Assumes collate's contiguous node ranges (graph g owns rows
+    # starts[g]..starts[g+1]) with only TRAILING graphs empty, so `starts`
+    # is sorted. Clamp: pad edges whose dst lands below starts[0] (or any
+    # stray id) must map to a real graph, not gid -1 — an all-zero one-hot
+    # would make row_norm 0 and blow nei_len_feat up to -7.5e5 on masked
+    # pad edges.
+    gid_e = jnp.clip(
+        jnp.searchsorted(starts, batch.edge_dst, side="right") - 1, 0, G - 1
+    ).astype(jnp.int32)
     oh_g = (gid_e[:, None] == garange[None, :]).astype(dt)
     row_norm = jnp.dot(oh_g, row_norm_g,
                        preferred_element_type=dt)                # [E,3]

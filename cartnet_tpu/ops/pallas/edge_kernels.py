@@ -467,8 +467,8 @@ def edge_phase_fwd(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, emask,
     scratch = [pltpu.VMEM((T_EDGES, 2 * d), jnp.float32)]
     if banded:
         # node tables stay in HBM; the kernel streams per-window bands
-        in_specs[3] = pl.BlockSpec(memory_space=pltpu.ANY)  # xi
-        in_specs[4] = pl.BlockSpec(memory_space=pltpu.ANY)  # xj
+        in_specs[3] = pl.BlockSpec(memory_space=pl.ANY)  # xi
+        in_specs[4] = pl.BlockSpec(memory_space=pl.ANY)  # xj
         scratch += [pltpu.VMEM((2, C_DST, 2 * d), xi.dtype),
                     pltpu.VMEM((2, c_src, 2 * d), xi.dtype),
                     pltpu.SemaphoreType.DMA((2,)),
@@ -538,8 +538,8 @@ def edge_phase_bwd_call(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src,
               if i not in (3, 4)]  # drop the unused xi/xj node tables
     banded = not edge_tables_resident(n_i, n_j, d, xi.dtype.itemsize)
     if banded:
-        dxi_spec = pl.BlockSpec(memory_space=pltpu.ANY)
-        dxj_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        dxi_spec = pl.BlockSpec(memory_space=pl.ANY)
+        dxj_spec = pl.BlockSpec(memory_space=pl.ANY)
         scratch = [pltpu.VMEM((C_DST, 2 * d), jnp.float32),
                    pltpu.VMEM((SRC_BLK, 2 * d), jnp.float32),
                    pltpu.SemaphoreType.DMA((2,))]
@@ -708,8 +708,8 @@ def _merged_bwd_call(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, emask,
     seg_res = seg_table_resident(n_i, d)
     scratch = []
     if banded:
-        dxi_spec = pl.BlockSpec(memory_space=pltpu.ANY)
-        dxj_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        dxi_spec = pl.BlockSpec(memory_space=pl.ANY)
+        dxj_spec = pl.BlockSpec(memory_space=pl.ANY)
         scratch += [pltpu.VMEM((C_DST, 2 * d), jnp.float32),
                     pltpu.VMEM((SRC_BLK, 2 * d), jnp.float32),
                     pltpu.SemaphoreType.DMA((2,))]
@@ -719,7 +719,7 @@ def _merged_bwd_call(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, emask,
     if seg_res:
         daggr_spec = const((n_i, d))
     else:
-        daggr_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        daggr_spec = pl.BlockSpec(memory_space=pl.ANY)
         scratch += [pltpu.VMEM((C_DST, d), daggr.dtype),
                     pltpu.SemaphoreType.DMA(())]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -752,6 +752,7 @@ def _merged_bwd_call(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, emask,
     outs = pl.pallas_call(
         functools.partial(_bwd_merged_kernel, c_src, banded, seg_res),
         grid_spec=grid_spec,
+        compiler_params=_compiler_params(),
         out_shape=[
             jax.ShapeDtypeStruct((E, d), e.dtype, vma=vma),
             jax.ShapeDtypeStruct((n_i, 2 * d), jnp.float32, vma=vma),
@@ -853,8 +854,11 @@ def _fes_bwd(c_src, c_win, eps, axes, interpret, res, cts):
     env32 = env2d.astype(jnp.float32)
     safe = jnp.minimum(dst, N - 1)
     dvals = jnp.take(daggr, safe, axis=0).astype(jnp.float32) * maskf
-    da = ((deout.astype(jnp.float32) + dvals * sender.astype(jnp.float32))
-          * env32 * sig0 * (1.0 - sig0))
+    dsig = deout.astype(jnp.float32) + dvals * sender.astype(jnp.float32)
+    # env cotangent (same formula as the standalone sigma kernel,
+    # segment_kernels.py _sigma bwd): sigma = env * sig0 => denv = Σ_d dsig·sig0
+    denv = jnp.sum(dsig * sig0, axis=1, keepdims=True)
+    da = dsig * env32 * sig0 * (1.0 - sig0)
     dscale = jnp.sum(da * g32, axis=0)
     dshift = jnp.sum(da, axis=0)
     vma = vma_union(deout, daggr, xi, xj, e)
@@ -887,7 +891,7 @@ def _fes_bwd(c_src, c_win, eps, axes, interpret, res, cts):
             dwe.astype(we.dtype), db.reshape(-1).astype(b.dtype),
             dw1g.astype(w1g.dtype), db1g.reshape(-1).astype(b1g.dtype),
             dw1a.astype(w1a.dtype), db1a.reshape(-1).astype(b1a.dtype),
-            dgamma, dbeta, jnp.zeros_like(env2d),
+            dgamma, dbeta, psum_to(denv, env2d, vma).astype(env2d.dtype),
             f0(dst), f0(src), f0(emask), f0(dst_lo), f0(src_lo),
             None if src_nblk is None else f0(src_nblk))
 

@@ -84,7 +84,7 @@ def segment_sum_sorted_window(values, ids_eff, num_segments: int,
 
     banded = not seg_table_resident(num_segments, D)
     if banded:
-        out_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        out_spec = pl.BlockSpec(memory_space=pl.ANY)
         scratch = [pltpu.VMEM((C_WINDOW, D), values.dtype),
                    pltpu.SemaphoreType.DMA(())]
     else:
@@ -311,7 +311,7 @@ def _sigma_fwd_call(gate, scale, shift, env, sender, e_in, ids_eff, lo,
     const = lambda shape: pl.BlockSpec(shape, lambda t, lo: (0, 0))
     banded = not seg_table_resident(num_segments, d)
     if banded:
-        out_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        out_spec = pl.BlockSpec(memory_space=pl.ANY)
         scratch = [pltpu.VMEM((c_window, d), jnp.float32),
                    pltpu.SemaphoreType.DMA(())]
     else:
@@ -382,7 +382,7 @@ def _sigma_bwd(num_segments, c_window, interpret, res, cts):
     const = lambda shape: pl.BlockSpec(shape, lambda t, lo: (0, 0))
     banded = not seg_table_resident(num_segments, d)
     if banded:
-        daggr_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        daggr_spec = pl.BlockSpec(memory_space=pl.ANY)
         scratch = [pltpu.VMEM((2, c_window, d), daggr.dtype),
                    pltpu.SemaphoreType.DMA((2,))]
     else:

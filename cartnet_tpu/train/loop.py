@@ -339,7 +339,12 @@ def make_fused_chunk(cfg: Config, model_apply, optimizer, num_steps: int):
             def outer(state, group):
                 state, stats = lax.scan(one_nocond, state, group,
                                         length=accum)
-                return apply_update(state), stats
+                # match the default path's valid-only cadence: a group of
+                # all guard-rejected / dummy-tail micro-batches must not
+                # fire a zero-grad Adam step (moment decay + step count)
+                state = lax.cond(state.accum_count > 0, apply_update,
+                                 lambda s: s, state)
+                return state, stats
 
             grouped = jax.tree.map(
                 lambda a: a.reshape((num_steps // accum, accum)
