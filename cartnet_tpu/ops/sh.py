@@ -11,10 +11,13 @@ Because both tensor products in the block only combine scalars with SH
 Clebsch-Gordan data needed are products and dot-contractions — implemented in
 models/equivariant.py as closed forms; no general CG tables.
 
-NB: the basis ordering/normalization is self-consistent and exactly
-equivariant (D-matrices orthogonal), but not bit-identical to e3nn's internal
-ordering — we train from scratch, so representation-level correctness (tested
-by rotation property tests) is the contract, not e3nn weight transfer.
+NB: values match e3nn's component-normalized real SH exactly for l=0 and l=2
+(same component order); for l=1 e3nn orders components (y, z, x) where we use
+(x, y, z) — a fixed basis permutation that is absorbed into the learned TP
+weights (they never index m; see models/equivariant.py) and leaves the
+computed function identical. TP path constants are e3nn-exact (derived in
+models/equivariant.py docstrings, oracle-checked in
+tests/test_comformer_torch_parity.py).
 """
 
 from __future__ import annotations
