@@ -116,8 +116,12 @@ def args_to_config(args) -> Config:
     # reference semantics: main.py:176-187
     max_neigh = -1 if model_name == "cartnet" else args.max_neighbours
     augment = False if model_name in ("icomformer", "ecomformer") else args.augment
-    use_temp = False if dataset != "ADP" else args.use_temp
-    cholesky = dataset == "ADP" or getattr(args, "cholesky", False)
+    # adpfix (the frozen learnable-ADP fixture, data/adpfix.py) runs the
+    # full ADP product path: temperature input + Cholesky head + y-conjugated
+    # SO(3) augmentation
+    adp_like = dataset in ("ADP", "adpfix")
+    use_temp = False if not adp_like else args.use_temp
+    cholesky = adp_like or getattr(args, "cholesky", False)
     model = ModelConfig(
         name=model_name, dim_in=args.dim_in, dim_rbf=args.dim_rbf,
         num_layers=args.num_layers, radius=args.radius,
@@ -162,6 +166,10 @@ def load_datasets(cfg: Config, limit=None) -> Tuple[List[dict], List[dict], List
                                  seed=123)
         k = max(n // 4, 2)
         return recs[:n], recs[n:n + k], recs[n + k:n + 2 * k]
+    if name == "adpfix":
+        from cartnet_tpu.data.adpfix import load_fixture
+        return load_fixture(standarize_temp=cfg.data.standarize_temp,
+                            limit=limit)
     if name in ("jarvis", "megnet", "dft_3d_2021"):
         from cartnet_tpu.data.jarvis import build_dataset
         return build_dataset(name, cfg.data.target, cfg.data.path,

@@ -44,6 +44,32 @@ def random_crystal(rng: np.random.Generator, n_atoms: int, radius: float = 5.0,
     return rec
 
 
+def learnable_adp_y(z, src, dst, dist, cart_dir, temperature: float,
+                    radius: float) -> np.ndarray:
+    """Deterministic, SO(3)-equivariant, learnable ADP ground truth.
+
+    U_i = s_i * (0.004*I + 0.012 * M_i),  M_i = sum_j w_ij r_ij r_ijT / sum_j w_ij
+    with w_ij = (1 - d_ij/r_c)^2 and s_i = (0.3 + T/600) / sqrt(Z_i).
+
+    Rotating every cart_dir by R (the montecarlo convention, main.py:93-103)
+    maps M_i -> R^T M_i R, hence U -> R^T U R — exactly the equivariance
+    contract the models are audited against. The rule is a one-hop geometric
+    feature of (Z, T, neighborhood), so a trained GNN must drive MAE far
+    below the ~1e-2 A^2 target scale; the frozen fixture dataset built from
+    it (data/adpfix.py) is the end-to-end learning benchmark."""
+    n = len(z)
+    w = (1.0 - dist / radius) ** 2
+    outer = cart_dir[:, :, None] * cart_dir[:, None, :]
+    M = np.zeros((n, 3, 3))
+    np.add.at(M, dst, w[:, None, None] * outer)
+    wsum = np.zeros(n)
+    np.add.at(wsum, dst, w)
+    M = M / np.maximum(wsum, 1e-6)[:, None, None]
+    s = (0.3 + temperature / 600.0) / np.sqrt(z.astype(np.float64))
+    U = s[:, None, None] * (0.004 * np.eye(3)[None] + 0.012 * M)
+    return U.astype(np.float32)
+
+
 def synthetic_dataset(num: int, mean_atoms: int = 194, radius: float = 5.0,
                       adp: bool = False, seed: int = 0,
                       max_neighbors: Optional[int] = None) -> List[dict]:

@@ -54,7 +54,19 @@ def get_error_volume(pred, true):
 
 
 def get_similarity_index(pred, true):
-    """S12 similarity in percent (doi:10.1107/S0108768106020787)."""
+    """S12 similarity in percent (doi:10.1107/S0108768106020787).
+
+    S12 is scale-invariant — S(aT, aP) == S(T, P) for any a > 0 (both
+    det(T⁻¹P⁻¹)^¼ and det(T⁻¹+P⁻¹)^½ scale as a^(-3/2)) — so both matrices
+    are first normalized by the true matrix's mean diagonal. The reference
+    (train/metrics.py:76-94) evaluates the raw formula, which overflows f32
+    when U entries sit well below the ~1e-2 Å² ADP scale (det(T⁻¹+P⁻¹) can
+    exceed f32 max); the normalized form is mathematically identical and
+    stays finite."""
+    scale = 3.0 / jnp.maximum(
+        jnp.trace(true, axis1=-2, axis2=-1), 1e-12)[..., None, None]
+    pred = pred * scale
+    true = true * scale
     ip, it = inv3(pred), inv3(true)
     num = 2.0 ** 1.5 * det3(jnp.matmul(it, ip)) ** 0.25
     den = det3(it + ip) ** 0.5
