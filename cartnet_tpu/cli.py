@@ -64,6 +64,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--halo_max", type=int, default=None,
                    help="static per-owner halo row cap (default: nodes/ep)")
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    p.add_argument("--verify_ingest", action="store_true",
+                   help="fetch + integrity-check the figshare payload, "
+                        "report filter/split sizes and a sample graph "
+                        "build, then exit")
     p.add_argument("--resume", action="store_true",
                    help="resume from the run's checkpoint dir")
     p.add_argument("--limit", type=int, default=None,
@@ -220,8 +224,46 @@ def main(argv=None):
         initialize_distributed(args.coordinator, args.num_processes,
                                args.process_id)
     cfg = args_to_config(args)
+    if args.verify_ingest:
+        return verify_ingest(cfg)
     from cartnet_tpu.runner import run
     run(cfg, args)
+
+
+def verify_ingest(cfg) -> None:
+    """--verify_ingest: fetch/verify the raw payload, report filter + split
+    sizes and a sample graph build, then exit (no training). Validates the
+    800 MB figshare path (checksum/resume/CRC, jarvis.py) without
+    committing to a full run."""
+    import numpy as np
+    name = cfg.data.name
+    if name not in ("jarvis", "megnet", "dft_3d_2021"):
+        raise ValueError(f"--verify_ingest supports figshare datasets only "
+                         f"(got {name!r})")
+    from cartnet_tpu.data import jarvis as J
+    raw_name = "dft_3d_2021" if name == "jarvis" else name
+    raw_dir = os.path.join(cfg.data.path, "raw")
+    zip_path = os.path.join(raw_dir, f"{raw_name}.zip")
+    if os.path.exists(zip_path):
+        logging.info("archive integrity: %s",
+                     J.verify_archive(raw_name, zip_path))
+    data = J.load_raw(name, cfg.data.path)
+    logging.info("raw records: %d", len(data))
+    dat, targets = J.filter_by_target(data, cfg.data.target)
+    tr, va, te = J.split_123(len(dat))
+    logging.info("target %r: %d usable -> split %d/%d/%d (seed-123 "
+                 "protocol, loader.py:130-141)", cfg.data.target, len(dat),
+                 len(tr), len(va), len(te))
+    k = min(3, len(dat))
+    for i in range(k):
+        rec = J.atoms_to_record(dat[i]["atoms"],
+                                np.float32(targets[i]).item()
+                                if np.ndim(targets[i]) == 0 else targets[i],
+                                radius=cfg.data.radius)
+        logging.info("sample %d: %d atoms, %d edges, finite=%s", i,
+                     len(rec["z"]), len(rec["edge_src"]),
+                     bool(np.isfinite(rec["cart_dist"]).all()))
+    logging.info("verify_ingest OK")
 
 
 if __name__ == "__main__":

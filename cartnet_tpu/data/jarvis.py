@@ -64,6 +64,87 @@ def load_pickle_splits(target: str, path: str) -> List[List[dict]]:
     return out
 
 
+# Optional integrity pins for the ~800 MB figshare archives. Populate (or
+# export CARTNET_FIGSHARE_SHA256_<NAME>=<hex>) once a trusted copy has been
+# hashed; None = integrity falls back to the zip CRC check + JSON parse.
+FIGSHARE_SHA256 = {
+    "dft_3d_2021": None,
+    "megnet": None,
+}
+
+_CHUNK = 1 << 20
+
+
+def _sha256(path: str) -> str:
+    import hashlib
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for block in iter(lambda: f.read(_CHUNK), b""):
+            h.update(block)
+    return h.hexdigest()
+
+
+def _fetch_with_resume(url: str, dest: str) -> None:
+    """Chunked streaming download with HTTP-Range resume.
+
+    The archives are ~800 MB; a dropped connection resumes from the .part
+    offset instead of restarting (reference's jarvis-tools restarts from
+    zero). The .part file is promoted to ``dest`` only after the stream
+    completes AND matches the server's Content-Length."""
+    import urllib.error
+    import urllib.request
+    part = dest + ".part"
+    offset = os.path.getsize(part) if os.path.exists(part) else 0
+    req = urllib.request.Request(url)
+    if offset:
+        req.add_header("Range", f"bytes={offset}-")
+        logging.info("resuming %s at byte %d", url, offset)
+    try:
+        resp = urllib.request.urlopen(req, timeout=60)
+    except urllib.error.HTTPError as e:
+        if e.code == 416:  # range beyond EOF: .part is already complete
+            os.replace(part, dest)
+            return
+        raise
+    if offset and resp.status != 206:
+        # server ignored the Range header: restart from scratch
+        offset = 0
+    total = resp.headers.get("Content-Length")
+    expected = (offset + int(total)) if total is not None else None
+    mode = "ab" if offset else "wb"
+    with open(part, mode) as out:
+        for block in iter(lambda: resp.read(_CHUNK), b""):
+            out.write(block)
+    got = os.path.getsize(part)
+    if expected is not None and got != expected:
+        raise IOError(
+            f"incomplete download of {url}: {got} of {expected} bytes "
+            f"(rerun to resume from the .part file)")
+    os.replace(part, dest)
+
+
+def verify_archive(name: str, zip_path: str) -> str:
+    """Integrity-check a downloaded archive. Returns a status string.
+
+    SHA256 when a pin is available (FIGSHARE_SHA256 or the
+    CARTNET_FIGSHARE_SHA256_<NAME> env var), always a full zip CRC pass."""
+    env_key = f"CARTNET_FIGSHARE_SHA256_{name.upper()}"
+    expected = os.environ.get(env_key) or FIGSHARE_SHA256.get(name)
+    status = "crc-only"
+    if expected:
+        got = _sha256(zip_path)
+        if got.lower() != expected.lower():
+            raise IOError(f"checksum mismatch for {zip_path}: "
+                          f"expected {expected}, got {got}")
+        status = "sha256-ok"
+    with zipfile.ZipFile(zip_path) as zf:
+        bad = zf.testzip()
+        if bad is not None:
+            raise IOError(f"corrupt archive {zip_path}: first bad member "
+                          f"{bad} — delete it and re-download")
+    return status
+
+
 def _download(name: str, raw_dir: str) -> str:
     os.makedirs(raw_dir, exist_ok=True)
     json_path = os.path.join(raw_dir, f"{name}.json")
@@ -77,12 +158,14 @@ def _download(name: str, raw_dir: str) -> str:
         # zero-egress environments: place either <name>.json or <name>.zip
         # under <path>/raw and the download is skipped
         logging.info("downloading %s from %s", name, url)
-        import urllib.request
-        urllib.request.urlretrieve(url, zip_path)
+        _fetch_with_resume(url, zip_path)
+    status = verify_archive(name, zip_path)
+    logging.info("archive %s integrity: %s", zip_path, status)
     with zipfile.ZipFile(zip_path) as zf:
         member = zf.namelist()[0]
         with zf.open(member) as f, open(json_path, "wb") as out:
-            out.write(f.read())
+            for block in iter(lambda: f.read(_CHUNK), b""):
+                out.write(block)
     return json_path
 
 

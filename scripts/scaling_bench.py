@@ -38,6 +38,92 @@ def timed(fn, state, reps=3):
     return best, state
 
 
+def predict_efficiency(edges_per_sec_1chip: float, real_edges: int,
+                       n_nodes: int, dim: int, num_layers: int,
+                       n_params: int, halo_bytes_per_layer: int,
+                       boundary_frac: float, hidden_frac: float,
+                       dp: int, ep: int, hosts: int = 1,
+                       ici_gbs: float = 90.0, dcn_gbs: float = 12.5,
+                       itemsize: int = 4, accum: int = 16) -> dict:
+    """Analytic edges/s efficiency prediction for a (dp, ep) layout.
+
+    Folds the MEASURED single-chip rate (bench.py two-point, real TPU) and
+    the COUNTED per-layer comms bytes (parallel/halo.py, validated against
+    the virtual-mesh runs by tests/test_halo.py) into a roofline-style
+    estimate (BASELINE north-star ≥80% 1→N):
+
+      * per-layer compute time  t_l = real_edges / eps_1 / num_layers
+        (fwd+bwd inclusive — eps_1 is an end-to-end step rate);
+      * halo ep: the all_to_all (halo_bytes/ICI) overlaps the interior
+        window prefix (hidden_frac of t_l); exposed = max(0, comm - hidden).
+        Backward runs the transpose exchange with the same overlap structure.
+      * replicated ep: per-layer [N, d] psum, 2(ep-1)/ep·N·d·itemsize each
+        way, NOT overlapped (the aggregate feeds BN immediately) — fwd and
+        bwd each pay one.
+      * dp: one gradient all-reduce per optimizer step, 2(dp-1)/dp·P·4
+        bytes; rides ICI within a host, DCN across hosts (dp is the outer
+        mesh axis; ep stays inside a host).
+
+    ici_gbs/dcn_gbs are per-chip effective bandwidths in GB/s — defaults are
+    deliberately conservative for a v5e 2D-torus slice and overridable via
+    CARTNET_ICI_GBS / CARTNET_DCN_GBS; the prediction scales linearly, so
+    recalibrating bandwidth rescales the comms terms only."""
+    eps1 = edges_per_sec_1chip
+    t_layer = real_edges / eps1 / num_layers          # s per layer per chip
+    t_step = real_edges / eps1
+    ici = ici_gbs * 1e9
+    dcn = dcn_gbs * 1e9
+
+    # edge-parallel comms inside a layer
+    if ep == 1:
+        t_ep = 0.0
+    elif halo_bytes_per_layer >= 0 and hidden_frac is not None:
+        t_comm = halo_bytes_per_layer / ici
+        hidden = hidden_frac * t_layer
+        t_ep = 2.0 * max(0.0, t_comm - hidden)        # fwd + bwd exchanges
+    else:
+        t_ep = 0.0
+    # replicated-ep alternative is computed by the caller with its own bytes
+
+    # dp gradient all-reduce once per step
+    # one all-reduce per OPTIMIZER step == per `accum` micro-steps
+    # (reference cadence: batch 4 x accum 16, train/train.py:186-189)
+    grad_bytes = 2.0 * (dp - 1) / dp * n_params * 4 if dp > 1 else 0.0
+    bw = dcn if hosts > 1 else ici
+    t_dp = grad_bytes / bw / max(accum, 1)
+
+    t_total = t_step + num_layers * t_ep + t_dp
+    eff = t_step / t_total
+    return {"predicted_efficiency": round(eff, 4),
+            "predicted_edges_per_sec": round(eps1 * dp * ep * eff, 1),
+            "t_step_ms": round(t_step * 1e3, 4),
+            "t_ep_exposed_ms_per_layer": round(t_ep * 1e3, 5),
+            "t_dp_ms": round(t_dp * 1e3, 5)}
+
+
+def predict_replicated(edges_per_sec_1chip: float, real_edges: int,
+                       n_nodes: int, dim: int, num_layers: int,
+                       n_params: int, dp: int, ep: int, hosts: int = 1,
+                       ici_gbs: float = 90.0, dcn_gbs: float = 12.5,
+                       accum: int = 16) -> dict:
+    """Replicated-node ep layout: per-layer un-overlapped [N,d] psum."""
+    eps1 = edges_per_sec_1chip
+    t_step = real_edges / eps1
+    ici = ici_gbs * 1e9
+    psum_bytes = 2.0 * (ep - 1) / ep * n_nodes * dim * 4 if ep > 1 else 0.0
+    t_ep = 2.0 * psum_bytes / ici                     # fwd + bwd per layer
+    grad_bytes = 2.0 * (dp - 1) / dp * n_params * 4 if dp > 1 else 0.0
+    t_dp = grad_bytes / ((dcn_gbs if hosts > 1 else ici_gbs) * 1e9) \
+        / max(accum, 1)
+    t_total = t_step + num_layers * t_ep + t_dp
+    eff = t_step / t_total
+    return {"predicted_efficiency": round(eff, 4),
+            "predicted_edges_per_sec": round(eps1 * dp * ep * eff, 1),
+            "t_step_ms": round(t_step * 1e3, 4),
+            "t_ep_exposed_ms_per_layer": round(t_ep * 1e3, 5),
+            "t_dp_ms": round(t_dp * 1e3, 5)}
+
+
 def main():
     import os
     import jax
@@ -168,6 +254,57 @@ def main():
             print(json.dumps(results[-1]), flush=True)
 
     print(json.dumps({"scaling_sweep": results}))
+
+    # ---- predicted multi-chip efficiency at the FLAGSHIP shape ----
+    # Folds the measured single-chip bench rate (BENCH / bench.py two-point,
+    # overridable via CARTNET_BENCH_EPS) and comms bytes COUNTED on real
+    # ADP-scale halo batches into the analytic model above — the quantitative
+    # story behind the ≥80% north star (VERDICT r4 weak #8).
+    import os as _os
+    from cartnet_tpu.ops.pallas.edge_kernels import T_EDGES
+    eps1 = float(_os.environ.get("CARTNET_BENCH_EPS", "8.15e6"))
+    fdim, flayers, fparams = 256, 4, 2_498_566
+    frecs = synthetic_dataset(4, mean_atoms=194, radius=5.0, adp=True, seed=0)
+    from cartnet_tpu.data.batching import bandwidth_reorder
+    frecs = [bandwidth_reorder(r) for r in frecs]
+    fb = collate(frecs, 1536, 24576, 4, edge_align=T_EDGES)
+    f_edges = int(np.asarray(fb.edge_mask).sum())
+    ici = float(_os.environ.get("CARTNET_ICI_GBS", "90"))
+    dcn = float(_os.environ.get("CARTNET_DCN_GBS", "12.5"))
+    pred = []
+    for dp, ep, hosts in [(1, 4, 1), (1, 8, 1), (4, 1, 1), (8, 1, 1),
+                          (2, 4, 1), (4, 2, 1), (8, 2, 2), (16, 1, 2)]:
+        row = {"layout": f"{dp}x{ep}", "hosts": hosts}
+        if ep > 1:
+            hb = to_halo(fb, ep)
+            halo_bytes, psum_bytes = comms_bytes_per_layer(hb, fdim)
+            em = np.asarray(hb.edge_mask)
+            n_per = hb.z.shape[0] // ep
+            bfrac = float(((np.asarray(hb.edge_src) >= n_per) & em).sum()
+                          / max(em.sum(), 1))
+            hint = hb.halo_interior_nt
+            nt_per = hb.edge_src.shape[0] // ep // T_EDGES
+            hfrac = (hint / max(nt_per, 1)) if hb.edge_fuse_ok else 1 - bfrac
+            row["halo"] = dict(
+                comms_bytes_per_layer=halo_bytes,
+                boundary_edge_fraction=round(bfrac, 4),
+                comms_hidden_fraction=round(hfrac, 4),
+                **predict_efficiency(eps1, f_edges, fb.z.shape[0], fdim,
+                                     flayers, fparams, halo_bytes, bfrac,
+                                     hfrac, dp, ep, hosts, ici, dcn))
+            row["replicated"] = predict_replicated(
+                eps1, f_edges, fb.z.shape[0], fdim, flayers, fparams, dp, ep,
+                hosts, ici, dcn)
+        else:
+            row["replicated"] = predict_replicated(
+                eps1, f_edges, fb.z.shape[0], fdim, flayers, fparams, dp, ep,
+                hosts, ici, dcn)
+        pred.append(row)
+        print(json.dumps(row), flush=True)
+    print(json.dumps({"predicted_scaling": pred,
+                      "assumptions": {"eps_1chip": eps1, "ici_gbs": ici,
+                                      "dcn_gbs": dcn,
+                                      "real_edges_per_batch": f_edges}}))
 
 
 if __name__ == "__main__":
