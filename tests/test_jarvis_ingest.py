@@ -102,7 +102,9 @@ def test_verify_archive_crc_and_sha(tmp_path, monkeypatch):
     # corrupt zip: CRC failure
     monkeypatch.delenv("CARTNET_FIGSHARE_SHA256_DFT_3D_2021")
     data = bytearray(zp.read_bytes())
-    data[len(data) // 2] ^= 0xFF
+    # member payload starts right after the 30-byte local header + the
+    # 6-byte "d.json" name — flip a payload byte so the stored CRC fails
+    data[40] ^= 0xFF
     bad = tmp_path / "bad.zip"
     bad.write_bytes(bytes(data))
     with pytest.raises((IOError, zipfile.BadZipFile)):
@@ -136,9 +138,10 @@ def test_fetch_resume_appends_from_offset(tmp_path, monkeypatch):
     class Resp:
         status = 206
         headers = {"Content-Length": "4"}
+        _chunks = [b"4567"]
 
         def read(self, n):
-            return seen.pop("rest", b"4567")
+            return self._chunks.pop() if self._chunks else b""
 
     def fake_urlopen(req, timeout=0):
         seen["range"] = req.get_header("Range")
