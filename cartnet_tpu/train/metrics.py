@@ -41,8 +41,12 @@ def masked_mae_mse(pred, true, mask):
 
 
 def get_volume(u):
-    """Ellipsoid volume 4/3 pi sqrt(det U) for [..., 3, 3]."""
-    return (4.0 / 3.0) * jnp.pi * jnp.sqrt(det3(u))
+    """Ellipsoid volume 4/3 pi sqrt(det U) for [..., 3, 3].
+
+    det clamped at 0: U is SPD by construction (Cholesky head), but the f32
+    cofactor det of a near-singular U can land at -1e-12, and sqrt(-0) NaN
+    would poison the epoch's masked mean."""
+    return (4.0 / 3.0) * jnp.pi * jnp.sqrt(jnp.maximum(det3(u), 0.0))
 
 
 def get_error_volume(pred, true):
@@ -65,8 +69,13 @@ def get_similarity_index(pred, true):
     stays finite."""
     scale = 3.0 / jnp.maximum(
         jnp.trace(true, axis1=-2, axis2=-1), 1e-12)[..., None, None]
-    pred = pred * scale
-    true = true * scale
+    # ridge after normalization: a near-singular f32 prediction (softplus
+    # diag underflow in the Cholesky head) otherwise sends inv3 -> inf and
+    # the masked epoch mean -> NaN; at the normalized O(1) scale the 1e-6
+    # perturbation is below the metric's f32 resolution
+    eye = jnp.eye(3, dtype=pred.dtype) * 1e-6
+    pred = pred * scale + eye
+    true = true * scale + eye
     ip, it = inv3(pred), inv3(true)
     num = 2.0 ** 1.5 * det3(jnp.matmul(it, ip)) ** 0.25
     den = det3(it + ip) ** 0.5
