@@ -77,8 +77,11 @@ def get_similarity_index(pred, true):
     pred = pred * scale + eye
     true = true * scale + eye
     ip, it = inv3(pred), inv3(true)
-    num = 2.0 ** 1.5 * det3(jnp.matmul(it, ip)) ** 0.25
-    den = det3(it + ip) ** 0.5
+    # both dets are >= 0 in exact arithmetic (products/sums of SPD inverses)
+    # but f32 cofactor roundoff can land at -1e-12 on ill-conditioned pairs;
+    # pow(-eps, 0.25) would be NaN (the round-5 training-run poison)
+    num = 2.0 ** 1.5 * jnp.maximum(det3(jnp.matmul(it, ip)), 0.0) ** 0.25
+    den = jnp.maximum(det3(it + ip), 1e-30) ** 0.5
     return 100.0 * (1.0 - num / den)
 
 

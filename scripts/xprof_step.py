@@ -26,10 +26,11 @@ def capture(outdir: str):
     from cartnet_tpu.config import Config, DataConfig, ModelConfig, OptimConfig
     from cartnet_tpu.data.batching import bandwidth_reorder, collate
     from cartnet_tpu.data.synthetic import synthetic_dataset
-    from cartnet_tpu.models.cartnet import cartnet_apply, cartnet_init
+    from cartnet_tpu.models.factory import create_model
     from cartnet_tpu.train.loop import (build_optimizer, init_train_state,
                                         make_fused_steps, stack_batches)
 
+    model_name = os.environ.get("CARTNET_BENCH_MODEL", "cartnet").lower()
     dim, layers, graphs = 256, 4, 4
     recs = synthetic_dataset(8, mean_atoms=194, radius=5.0, adp=True, seed=0)
     recs = [bandwidth_reorder(r) for r in recs]  # match bench.py
@@ -40,7 +41,8 @@ def capture(outdir: str):
     need_e = max(sum(rnd(len(r["edge_src"]), align) for r in g)
                  for g in groups)
     cfg = Config(
-        model=ModelConfig(dim_in=dim, dim_rbf=64, num_layers=layers,
+        model=ModelConfig(name=model_name, dim_in=dim, dim_rbf=64,
+                          num_layers=layers,
                           cholesky=True, compute_dtype=jnp.bfloat16),
         data=DataConfig(max_nodes=rnd(need_n, 128), max_edges=rnd(need_e, 512),
                         max_graphs=graphs),
@@ -51,9 +53,10 @@ def capture(outdir: str):
     batches = [jax.tree.map(jnp.asarray, b) for b in batches]
     iters = 128
     stacked = stack_batches([batches[i % 2] for i in range(iters)])
+    model_init, model_apply = create_model(cfg.model)
     opt = build_optimizer(cfg, 100)
-    state = init_train_state(jax.random.key(0), cfg, cartnet_init, opt)
-    fused = make_fused_steps(cfg, cartnet_apply, opt, iters)
+    state = init_train_state(jax.random.key(0), cfg, model_init, opt)
+    fused = make_fused_steps(cfg, model_apply, opt, iters)
     state, _ = fused(state, stacked)
     np.asarray(state.step)  # tunnel-safe sync
     with jax.profiler.trace(outdir):
