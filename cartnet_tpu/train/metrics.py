@@ -69,20 +69,22 @@ def get_similarity_index(pred, true):
     stays finite."""
     scale = 3.0 / jnp.maximum(
         jnp.trace(true, axis1=-2, axis2=-1), 1e-12)[..., None, None]
-    # ridge after normalization: a near-singular f32 prediction (softplus
-    # diag underflow in the Cholesky head) otherwise sends inv3 -> inf and
-    # the masked epoch mean -> NaN; at the normalized O(1) scale the 1e-6
-    # perturbation is below the metric's f32 resolution
-    eye = jnp.eye(3, dtype=pred.dtype) * 1e-6
-    pred = pred * scale + eye
-    true = true * scale + eye
-    ip, it = inv3(pred), inv3(true)
-    # both dets are >= 0 in exact arithmetic (products/sums of SPD inverses)
-    # but f32 cofactor roundoff can land at -1e-12 on ill-conditioned pairs;
-    # pow(-eps, 0.25) would be NaN (the round-5 training-run poison)
-    num = 2.0 ** 1.5 * jnp.maximum(det3(jnp.matmul(it, ip)), 0.0) ** 0.25
-    den = jnp.maximum(det3(it + ip), 1e-30) ** 0.5
-    return 100.0 * (1.0 - num / den)
+    pred = pred * scale
+    true = true * scale
+    # inverse-free algebraic form: det(T⁻¹P⁻¹) = 1/(detT·detP) and
+    # det(T⁻¹+P⁻¹) = det(T+P)/(detT·detP), so
+    #     S12 = 100·(1 − 2^{3/2}·(detT·detP)^{1/4} / det(T+P)^{1/2})
+    # — identical to the reference formula but with no inv3 (whose f32
+    # cofactor cancellation on near-rank-deficient untrained predictions
+    # produced ±inf/NaN and poisoned masked epoch means). All three dets are
+    # of SPD matrices; Minkowski (det(A+B)^{1/3} ≥ detA^{1/3}+detB^{1/3})
+    # gives det(T+P) ≥ detT+detP — a valid lower bound that also rescues
+    # f32 cancellation in the T+P cofactor det.
+    dt = jnp.maximum(det3(true), 1e-30)
+    dp = jnp.maximum(det3(pred), 1e-30)
+    dsum = jnp.maximum(det3(true + pred), dt + dp)
+    num = 2.0 ** 1.5 * (dt * dp) ** 0.25
+    return 100.0 * (1.0 - num / dsum ** 0.5)
 
 
 def get_kl(pred, true):
