@@ -40,9 +40,9 @@ def masked_segment_sum(values, segment_ids, mask, num_segments: int, *,
 import functools
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def masked_segment_sum_by_perm(values, segment_ids, mask, perm, ids_sorted,
-                               num_segments: int):
+                               num_segments: int, pallas_ok: bool = False):
     """Masked segment-sum over UNSORTED ids with zero scatters.
 
     ``perm`` sorts the ids (ids[perm] == ids_sorted, host-precomputed).
@@ -50,9 +50,21 @@ def masked_segment_sum_by_perm(values, segment_ids, mask, perm, ids_sorted,
     transpose of a scatter is a GATHER — d(values) = d(out)[ids] * mask, so
     neither direction ever hits XLA's serial unsorted scatter (~1 ms for a
     [21k, 40] scatter on v5e; both directions here are ~tens of us).
+
+    ``pallas_ok`` (collate-verified src-window span, 128-lane values) runs
+    the sorted reduction as the windowed one-hot MXU kernel — XLA's own
+    sorted segment-sum is VMEM-write-serialized (~180 us at [21k, 128]
+    bench shapes vs ~30 us for the window kernel).
     """
     vs = jnp.asarray(values).at[perm].get(mode="promise_in_bounds")
     ms = jnp.asarray(mask).at[perm].get(mode="promise_in_bounds")
+    if pallas_ok and vs.ndim == 2:
+        from cartnet_tpu.ops.pallas.segment_kernels import (
+            on_tpu, pallas_shapes_ok, segment_sum_sorted_window)
+        if on_tpu() and pallas_shapes_ok(vs.shape[0], vs.shape[1],
+                                         num_segments):
+            ids_eff = jnp.where(ms, ids_sorted, num_segments).astype(jnp.int32)
+            return segment_sum_sorted_window(vs, ids_eff, num_segments)
     m = ms.astype(values.dtype).reshape(
         ms.shape + (1,) * (values.ndim - ms.ndim))
     return jax.ops.segment_sum(vs * m, ids_sorted,
@@ -60,13 +72,14 @@ def masked_segment_sum_by_perm(values, segment_ids, mask, perm, ids_sorted,
                                indices_are_sorted=True)
 
 
-def _mssp_perm_fwd(values, segment_ids, mask, perm, ids_sorted, num_segments):
+def _mssp_perm_fwd(values, segment_ids, mask, perm, ids_sorted, num_segments,
+                   pallas_ok):
     out = masked_segment_sum_by_perm(values, segment_ids, mask, perm,
-                                     ids_sorted, num_segments)
+                                     ids_sorted, num_segments, pallas_ok)
     return out, (segment_ids, mask, perm, ids_sorted)
 
 
-def _mssp_perm_bwd(num_segments, res, ct):
+def _mssp_perm_bwd(num_segments, pallas_ok, res, ct):
     import numpy as np
     segment_ids, mask, perm, ids_sorted = res
     m = mask.astype(ct.dtype).reshape(
