@@ -14,14 +14,18 @@ XLA cannot keep this chain on-chip: the [E, 5120] weight tensor and the
 reduces, and backward weight-gen GEMMs at 33-42% MXU). This kernel runs the
 whole chain per T-edge tile in VMEM:
 
-  * the weight-gen GEMM tiles [T, C] @ [C, U*W] on the MXU;
+  * ONE weight-gen GEMM tiles [T, C] @ [C, 5120] on the MXU; per-path views
+    are 128-aligned VMEM lane slices (offsets 0 / 4096 / 4608);
   * the strided per-edge contraction sum_u a[e,u] * wp[e, u*W+w] becomes two
-    MXU matmuls against constant 0/1 matrices built in-registers from iota —
+    MXU matmuls against constant 0/1 matrices —
     expand:  a_exp = a @ R_rep   (R_rep[u, u*W+w] = 1)
     reduce:  c     = (wp * a_exp) @ R_sum  (R_sum[u*W+w, w'] = delta_{w w'})
-    — no [E, U, W] tensor ever exists, in VMEM or HBM;
-  * the backward recomputes wp in VMEM (flops are cheaper than a 172 MB HBM
-    round-trip) and accumulates dW / db in f32 VMEM across the grid.
+    — no [E, U, W] tensor ever exists, in VMEM or HBM. The R matrices are
+    PASSED as resident operands: building them per grid step from iota cost
+    ~2-3 us/tile of VPU serial work (~40% of the fwd tile, first cut);
+  * the backward recomputes w_all in VMEM (55 GFLOP is cheaper than a
+    172 MB HBM round-trip) and accumulates dW / db in f32 VMEM across the
+    grid.
 
 Layer shapes (NS=64 scalar channels, NV=8 vector/tensor channels,
 comformer_conv.py:235-236): layer 1 contracts one [E, 64] input against
@@ -45,24 +49,36 @@ from cartnet_tpu.ops.pallas.vma import psum_to, pvary_to, vma_union
 
 T_TP = int(_os.environ.get("CARTNET_T_TP", "128"))  # edges per tile
 
-# (U, W, lane offset) per TP path; 64*64 + 64*8 + 64*8 = 5120 fc lanes
+# (U, W, lane offset) per TP path; 64*64 + 64*8 + 64*8 = 5120 fc lanes.
+# Path 0 uses the (rr_a, rs_a) expansion/reduction pair, paths 1/2 share
+# (rr_b, rs_b).
 PATHS_L1 = ((64, 64, 0), (64, 8, 4096), (64, 8, 4608))
 PATHS_L2 = ((64, 64, 0), (8, 64, 4096), (8, 64, 4608))
 NUMEL = 5120
 
 
-def _rrep(U, W, dtype):
+@functools.lru_cache(maxsize=None)
+def _rrep_np(U, W):
     """[U, U*W] 0/1 expansion: (a @ R)[e, u*W+w] == a[e, u]."""
-    rows = jax.lax.broadcasted_iota(jnp.int32, (U, U * W), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (U, U * W), 1)
-    return (rows == cols // W).astype(dtype)
+    r = np.zeros((U, U * W), np.float32)
+    r[np.arange(U * W) // W, np.arange(U * W)] = 1.0
+    return r
 
 
-def _rsum(U, W, dtype):
+@functools.lru_cache(maxsize=None)
+def _rsum_np(U, W):
     """[U*W, W] 0/1 reduction: (p @ R)[e, w] == sum_u p[e, u*W+w]."""
-    rows = jax.lax.broadcasted_iota(jnp.int32, (U * W, W), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (U * W, W), 1)
-    return (rows - (rows // W) * W == cols).astype(dtype)
+    r = np.zeros((U * W, W), np.float32)
+    r[np.arange(U * W), np.arange(U * W) % W] = 1.0
+    return r
+
+
+def _rmats(paths, dtype):
+    (U0, W0, _), (U1, W1, _) = paths[0], paths[1]
+    return (jnp.asarray(_rrep_np(U0, W0), dtype),
+            jnp.asarray(_rsum_np(U0, W0), dtype),
+            jnp.asarray(_rrep_np(U1, W1), dtype),
+            jnp.asarray(_rsum_np(U1, W1), dtype))
 
 
 _DIMS_NT = (((1,), (1,)), ((), ()))   # contract minor x minor (B^T on rhs)
@@ -72,18 +88,20 @@ _DIMS_TT = (((0,), (0,)), ((), ()))   # contract major x major (A^T on lhs)
 def _tp_fwd_kernel(paths, n_a, sum_out, h_ref, *refs):
     a_refs = refs[:n_a]
     W_ref, b_ref = refs[n_a], refs[n_a + 1]
-    out_refs = refs[n_a + 2:]
+    rr_a, rs_a, rr_b, rs_b = refs[n_a + 2:n_a + 6]
+    out_refs = refs[n_a + 6:]
     cdt = h_ref.dtype
     h = h_ref[...]
+    w_all = (jnp.dot(h, W_ref[...], preferred_element_type=jnp.float32)
+             + b_ref[...]).astype(cdt)
     acc = None
     for i, (U, W, off) in enumerate(paths):
-        wp = (jnp.dot(h, W_ref[:, off:off + U * W],
-                      preferred_element_type=jnp.float32)
-              + b_ref[0, off:off + U * W]).astype(cdt)
+        rr, rs = (rr_a, rs_a) if i == 0 else (rr_b, rs_b)
+        wp = w_all[:, off:off + U * W]
         a = a_refs[i if n_a > 1 else 0][...]
-        a_exp = jnp.dot(a, _rrep(U, W, cdt), preferred_element_type=cdt)
-        c = jnp.dot(wp * a_exp, _rsum(U, W, cdt),
-                    preferred_element_type=jnp.float32)
+        a_exp = jnp.dot(a, rr[...],
+                        preferred_element_type=jnp.float32).astype(cdt)
+        c = jnp.dot(wp * a_exp, rs[...], preferred_element_type=jnp.float32)
         if sum_out:
             acc = c if acc is None else acc + c
         else:
@@ -95,11 +113,12 @@ def _tp_fwd_kernel(paths, n_a, sum_out, h_ref, *refs):
 def _tp_bwd_kernel(paths, n_a, sum_out, h_ref, *refs):
     a_refs = refs[:n_a]
     W_ref, b_ref = refs[n_a], refs[n_a + 1]
+    rr_a, rs_a, rr_b, rs_b = refs[n_a + 2:n_a + 6]
     n_dc = 1 if sum_out else len(paths)
-    dc_refs = refs[n_a + 2:n_a + 2 + n_dc]
-    dh_ref = refs[n_a + 2 + n_dc]
-    da_refs = refs[n_a + 3 + n_dc:n_a + 3 + n_dc + n_a]
-    dW_ref, db_ref = refs[n_a + 3 + n_dc + n_a], refs[n_a + 4 + n_dc + n_a]
+    dc_refs = refs[n_a + 6:n_a + 6 + n_dc]
+    dh_ref = refs[n_a + 6 + n_dc]
+    da_refs = refs[n_a + 7 + n_dc:n_a + 7 + n_dc + n_a]
+    dW_ref, db_ref = refs[n_a + 7 + n_dc + n_a], refs[n_a + 8 + n_dc + n_a]
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -109,20 +128,23 @@ def _tp_bwd_kernel(paths, n_a, sum_out, h_ref, *refs):
 
     cdt = h_ref.dtype
     h = h_ref[...]
+    w_all = (jnp.dot(h, W_ref[...], preferred_element_type=jnp.float32)
+             + b_ref[...]).astype(cdt)
     parts = []
     da_acc = [None] * n_a
     for i, (U, W, off) in enumerate(paths):
+        rr, rs = (rr_a, rs_a) if i == 0 else (rr_b, rs_b)
         dc = dc_refs[0 if sum_out else i][...].astype(cdt)
         # dprod[e, u*W+w] = dc[e, w]
-        dprod = jax.lax.dot_general(dc, _rsum(U, W, cdt), _DIMS_NT,
-                                    preferred_element_type=cdt)
-        wp = (jnp.dot(h, W_ref[:, off:off + U * W],
-                      preferred_element_type=jnp.float32)
-              + b_ref[0, off:off + U * W]).astype(cdt)
+        dprod = jax.lax.dot_general(
+            dc, rs[...], _DIMS_NT,
+            preferred_element_type=jnp.float32).astype(cdt)
+        wp = w_all[:, off:off + U * W]
         ai = i if n_a > 1 else 0
         a = a_refs[ai][...]
-        a_exp = jnp.dot(a, _rrep(U, W, cdt), preferred_element_type=cdt)
-        da = jax.lax.dot_general(dprod * wp, _rrep(U, W, cdt), _DIMS_NT,
+        a_exp = jnp.dot(a, rr[...],
+                        preferred_element_type=jnp.float32).astype(cdt)
+        da = jax.lax.dot_general(dprod * wp, rr[...], _DIMS_NT,
                                  preferred_element_type=jnp.float32)
         da_acc[ai] = da if da_acc[ai] is None else da_acc[ai] + da
         parts.append(dprod * a_exp)
@@ -145,16 +167,25 @@ def _win(shape):
     return pl.BlockSpec(shape, lambda t: (t, 0))
 
 
+def _common_args(paths, h, a_list, Wp, bp, vma):
+    cdt = h.dtype
+    rmats = _rmats(paths, cdt)
+    args = [h] + list(a_list) + [Wp, bp.reshape(1, -1)] + list(rmats)
+    args = [pvary_to(x, vma) for x in args]
+    C = h.shape[1]
+    in_specs = ([_win((T_TP, C))]
+                + [_win((T_TP, a.shape[1])) for a in a_list]
+                + [_const((C, NUMEL)), _const((1, NUMEL))]
+                + [_const(r.shape) for r in rmats])
+    return args, in_specs
+
+
 def _fwd_call(paths, n_a, sum_out, h, a_list, Wp, bp, interpret):
     E, C = h.shape
     nt = E // T_TP
     cdt = h.dtype
     vma = vma_union(h, *a_list, Wp, bp)
-    args = [h] + list(a_list) + [Wp, bp.reshape(1, -1)]
-    args = [pvary_to(x, vma) for x in args]
-    in_specs = ([_win((T_TP, C))]
-                + [_win((T_TP, a.shape[1])) for a in a_list]
-                + [_const((C, NUMEL)), _const((1, NUMEL))])
+    args, in_specs = _common_args(paths, h, a_list, Wp, bp, vma)
     if sum_out:
         out_specs = [_win((T_TP, paths[0][1]))]
         out_shape = [jax.ShapeDtypeStruct((E, paths[0][1]), cdt, vma=vma)]
@@ -183,13 +214,10 @@ def _bwd_call(paths, n_a, sum_out, h, a_list, Wp, bp, dc_list, interpret):
     nt = E // T_TP
     cdt = h.dtype
     vma = vma_union(h, *a_list, Wp, bp, *dc_list)
-    args = ([h] + list(a_list) + [Wp, bp.reshape(1, -1)]
-            + [dc.astype(cdt) for dc in dc_list])
-    args = [pvary_to(x, vma) for x in args]
-    in_specs = ([_win((T_TP, C))]
-                + [_win((T_TP, a.shape[1])) for a in a_list]
-                + [_const((C, NUMEL)), _const((1, NUMEL))]
-                + [_win((T_TP, dc.shape[1])) for dc in dc_list])
+    args, in_specs = _common_args(paths, h, a_list, Wp, bp, vma)
+    dcs = [pvary_to(dc.astype(cdt), vma) for dc in dc_list]
+    args = args + dcs
+    in_specs = in_specs + [_win((T_TP, dc.shape[1])) for dc in dcs]
     out_specs = ([_win((T_TP, C))]
                  + [_win((T_TP, a.shape[1])) for a in a_list]
                  + [_const((C, NUMEL)), _const((1, NUMEL))])
