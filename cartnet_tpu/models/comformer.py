@@ -202,42 +202,53 @@ def conv_edge_apply(p, state, edge_attr, edge_nei_len, edge_nei_angle,
                     edge_stat_axes=()):
     """Edge update over the 3 lattice channels (comformer_conv.py:156-193).
 
-    edge_attr [E, d]; edge_nei_len / edge_nei_angle [E, 3, d].
+    edge_attr [E, d]; edge_nei_len / edge_nei_angle are CHANNEL-MAJOR flat
+    [3E, d] (rows i*E + e) — every tensor in the chain stays rank-2 with the
+    natural {1,0} layout. The earlier rank-3 [E,3,d] formulation cost
+    ~0.6 ms/step of {2,0,1}-layout copies and HBM-inefficient fusions
+    (xprof round 5). [E, 3, d] inputs (tests, oracles) are converted.
     """
     d = edge_attr.shape[-1]
-    q = nn.linear(p["lin_query"], edge_attr)[:, None, :]        # [E,1,d]
-    kx = nn.linear(p["lin_key"], edge_attr)                     # [E,d]
+    E = edge_attr.shape[0]
+    if edge_nei_len.ndim == 3:
+        edge_nei_len = edge_nei_len.transpose(1, 0, 2).reshape(3 * E, d)
+    if edge_nei_angle.ndim == 3:
+        edge_nei_angle = edge_nei_angle.transpose(1, 0, 2).reshape(3 * E, d)
+    q = nn.linear(p["lin_query"], edge_attr)                     # [E,d]
+    kx = nn.linear(p["lin_key"], edge_attr)
     vx = nn.linear(p["lin_value"], edge_attr)
-    ky = jnp.stack([nn.linear(p[f"key_e{i + 1}"], edge_nei_len[:, i])
-                    for i in range(3)], axis=1)                  # [E,3,d]
-    vy = jnp.stack([nn.linear(p[f"value_e{i + 1}"], edge_nei_len[:, i])
-                    for i in range(3)], axis=1)
-    exy = nn.linear(p["lin_edge"], edge_nei_angle)               # [E,3,d]
+    ky = jnp.concatenate(
+        [nn.linear(p[f"key_e{i + 1}"], edge_nei_len[i * E:(i + 1) * E])
+         for i in range(3)], axis=0)                             # [3E,d]
+    vy = jnp.concatenate(
+        [nn.linear(p[f"value_e{i + 1}"], edge_nei_len[i * E:(i + 1) * E])
+         for i in range(3)], axis=0)
+    exy = nn.linear(p["lin_edge"], edge_nei_angle)               # [3E,d]
 
     # first MLP layers over [x ‖ y ‖ exy] as block matmuls: the x block is
     # identical across the 3 lattice channels, so project it ONCE per edge
-    # and broadcast — no [E,3,3d] concat ever hits HBM (xprof: those f32
+    # and tile — no [E,3,3d] concat ever hits HBM (xprof: those f32
     # concat fusions were ~1.5 ms/step at bench shapes)
-    def _pre3(mlp, x2d, y3d):
+    def _pre3(mlp, x2d, y2d):
         w, b = mlp["lin0"]["w"], mlp["lin0"]["b"]
         px = jnp.dot(x2d, w[:d], preferred_element_type=x2d.dtype)
-        return (px[:, None, :]
-                + jnp.dot(y3d, w[d:2 * d], preferred_element_type=x2d.dtype)
+        return (jnp.tile(px, (3, 1))
+                + jnp.dot(y2d, w[d:2 * d], preferred_element_type=x2d.dtype)
                 + jnp.dot(exy, w[2 * d:], preferred_element_type=x2d.dtype)
                 + b)
 
     key = nn.linear(p["key_update"]["lin1"],
                     jax.nn.silu(_pre3(p["key_update"], kx, ky)))
-    alpha = (q * key) / math.sqrt(d)                             # [E,3,d]
-    mask3 = jnp.repeat(edge_mask, 3)
-    alpha_flat, bn_att_s = masked_batch_norm(
-        p["bn_att"], state["bn_att"], alpha.reshape(-1, d), mask3,
+    alpha = (jnp.tile(q, (3, 1)) * key) / math.sqrt(d)           # [3E,d]
+    mask3 = jnp.tile(edge_mask, 3)
+    alpha, bn_att_s = masked_batch_norm(
+        p["bn_att"], state["bn_att"], alpha, mask3,
         training=training, momentum=cfg.bn_momentum, eps=cfg.bn_eps,
         axis_names=edge_stat_axes)
     msg = nn.linear(p["msg_update"]["lin1"],
                     jax.nn.silu(_pre3(p["msg_update"], vx, vy)))
-    out = msg * jax.nn.sigmoid(alpha_flat.reshape(alpha.shape))
-    out = nn.linear(p["lin_concate"], out).sum(axis=1)           # [E,d]
+    out3 = nn.linear(p["lin_concate"], msg * jax.nn.sigmoid(alpha))
+    out = out3[:E] + out3[E:2 * E] + out3[2 * E:]                # [E,d]
     out, bn_s = masked_batch_norm(p["bn"], state["bn"], out, edge_mask,
                                   training=training, momentum=cfg.bn_momentum,
                                   eps=cfg.bn_eps, axis_names=edge_stat_axes)
@@ -385,9 +396,11 @@ def icomformer_apply(params, state, batch: CrystalBatch, cfg: ModelConfig,
 
     e = _rbf_head_apply(params["rbf"], efeat, params["rbf_centers"],
                         params["rbf_gamma"])
-    nei_len = _rbf_head_apply(params["rbf"], nei_len_feat,
+    # channel-major flat [3E] features -> [3E, d] rbf heads: keeps the
+    # conv_edge chain rank-2 (see conv_edge_apply)
+    nei_len = _rbf_head_apply(params["rbf"], nei_len_feat.T.reshape(-1),
                               params["rbf_centers"], params["rbf_gamma"])
-    nei_ang = _rbf_head_apply(params["rbf_angle"], cosang,
+    nei_ang = _rbf_head_apply(params["rbf_angle"], cosang.T.reshape(-1),
                               params["rbfa_centers"], params["rbfa_gamma"])
 
     new_state = {}
