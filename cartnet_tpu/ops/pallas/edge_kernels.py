@@ -133,6 +133,17 @@ def plan_edge_windows(dst, src, mask, num_nodes: int,
     return False, None, None, None, C_SRC
 
 
+def _bwd_saved() -> bool:
+    """CARTNET_BWD_SAVED=1: the forward saves [pre ‖ sigmoid(pre)] (bf16,
+    [E, 4d]) instead of pre alone, making the backward silu' chain pure
+    FMAs — no transcendentals on the bwd kernel's serial VPU path (the
+    suspected 68%-MXU limiter, PERF_NOTES round-4 lead 1) at the cost of
+    one extra [E, 2d] bf16 HBM write+read per layer. Measured +3.5% on the
+    full step (in-process A/B, 6.85M vs 6.61-6.66M, round 5) — DEFAULT ON;
+    CARTNET_BWD_SAVED=0 reverts. Read at trace time."""
+    return _os.environ.get("CARTNET_BWD_SAVED", "1") == "1"
+
+
 def _compiler_params():
     """Optional Mosaic VMEM-budget override (CARTNET_VMEM_LIMIT_MB): a
     larger scoped budget lets the pipeliner double-buffer more of the
@@ -148,7 +159,7 @@ def _onehot(ids, lo, c, dtype):
     return (cols == (ids - lo)[:, None]).astype(dtype)
 
 
-def _fwd_kernel(c_src, banded, dlo_ref, slo_ref, nblk_ref, dids_ref,
+def _fwd_kernel(saved, c_src, banded, dlo_ref, slo_ref, nblk_ref, dids_ref,
                 sids_ref, emask_ref, xi_ref, xj_ref, e_ref, we_ref, b_ref,
                 w1g_ref, b1g_ref, w1a_ref, b1a_ref, gate_ref, sender_ref,
                 pre_ref, s1_ref, m2_ref, acc_ref, *banded_scratch):
@@ -220,7 +231,8 @@ def _fwd_kernel(c_src, banded, dlo_ref, slo_ref, nblk_ref, dids_ref,
         gj = jnp.dot(oh_s, xj_band_ref[...],
                      preferred_element_type=jnp.float32)
         pre = gi + gj + ew + b_ref[...].astype(jnp.float32)
-    h = jax.nn.silu(pre).astype(cdt)
+    sig = jax.nn.sigmoid(pre)
+    h = (pre * sig).astype(cdt)                           # = silu(pre)
     gate = jnp.dot(h[:, :d], w1g_ref[...],
                    preferred_element_type=jnp.float32) + b1g_ref[...]
     sender = jnp.dot(h[:, d:], w1a_ref[...],
@@ -230,7 +242,11 @@ def _fwd_kernel(c_src, banded, dlo_ref, slo_ref, nblk_ref, dids_ref,
     # saved for the backward: re-deriving pre would cost the oh_d/oh_s/eW
     # dots again (~16.5 GF/layer, xprof'd at ~0.1 ms/layer) vs one [T,2d]
     # write+read. bf16 save matches the XLA path's silu-bwd precision.
-    pre_ref[...] = pre.astype(pre_ref.dtype)
+    if saved:  # [pre ‖ sig]: transcendental-free backward (_bwd_saved)
+        pre_ref[...] = jnp.concatenate(
+            [pre.astype(pre_ref.dtype), sig.astype(pre_ref.dtype)], axis=1)
+    else:
+        pre_ref[...] = pre.astype(pre_ref.dtype)
     # per-window masked Welford partials of the BN batch moments over the
     # ROUNDED gate (what downstream consumes): s1_w = sum(m*g),
     # M2_w = sum(m*(g-mean_w)^2). Combined outside with the exact
@@ -250,7 +266,7 @@ def _fwd_kernel(c_src, banded, dlo_ref, slo_ref, nblk_ref, dids_ref,
     m2_ref[pl.ds(t, 1), :] = jnp.sum(diff * diff, axis=0)[None, :]
 
 
-def _bwd_kernel(c_src, banded, dlo_ref, slo_ref, nblk_ref, dids_ref,
+def _bwd_kernel(saved, c_src, banded, dlo_ref, slo_ref, nblk_ref, dids_ref,
                 sids_ref, emask_ref, e_ref, we_ref, b_ref, w1g_ref, b1g_ref,
                 w1a_ref, b1a_ref, pre_saved_ref, gate_ref, meanw_ref,
                 ds1_ref, dm2_ref, dgate_ref, dsender_ref,
@@ -344,8 +360,12 @@ def _bwd_kernel(c_src, banded, dlo_ref, slo_ref, nblk_ref, dids_ref,
         dh_a = jax.lax.dot_general(ds, w1a_ref[...], dims_nt,
                                    preferred_element_type=jnp.float32)
 
-        pre = pre_saved_ref[rows, :].astype(jnp.float32)  # saved by the fwd
-        sig = jax.nn.sigmoid(pre)
+        if saved:  # [pre ‖ sig] saved by the fwd — no bwd transcendentals
+            ps = pre_saved_ref[rows, :].astype(jnp.float32)
+            pre, sig = ps[:, :2 * d], ps[:, 2 * d:]
+        else:
+            pre = pre_saved_ref[rows, :].astype(jnp.float32)
+            sig = jax.nn.sigmoid(pre)
         h32 = pre * sig                                       # = silu(pre)
         h = h32.astype(cdt)
         oh_d = _onehot(dids_ref[t, rows], dlo, C_DST, cdt)
@@ -438,11 +458,13 @@ def _prep(xi, xj, dst, src, dst_lo, src_lo):
 
 def edge_phase_fwd(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, emask,
                    dst_lo, src_lo, src_nblk=None, c_src: int = C_SRC,
-                   interpret: bool = False):
+                   interpret: bool = False, saved=None):
     n_i, d2 = xi.shape
     n_j = xj.shape[0]
     d = d2 // 2
     E = e.shape[0]
+    saved = _bwd_saved() if saved is None else saved
+    wsave = 4 * d if saved else 2 * d
     if src_nblk is None:
         src_nblk = jnp.full(E // T_EDGES, c_src // SRC_BLK, jnp.int32)
     # uniform vma: under shard_map the node tables may be replicated over ep
@@ -479,7 +501,7 @@ def edge_phase_fwd(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, emask,
         in_specs=in_specs,
         out_specs=[pl.BlockSpec((T_EDGES, d), lambda t, dlo, slo, nb: (t, 0)),
                    pl.BlockSpec((T_EDGES, d), lambda t, dlo, slo, nb: (t, 0)),
-                   pl.BlockSpec((T_EDGES, 2 * d),
+                   pl.BlockSpec((T_EDGES, wsave),
                                 lambda t, dlo, slo, nb: (t, 0)),
                    pl.BlockSpec((nt, d), lambda t, dlo, slo, nb: (0, 0)),
                    pl.BlockSpec((nt, d), lambda t, dlo, slo, nb: (0, 0))],
@@ -487,12 +509,12 @@ def edge_phase_fwd(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, emask,
     )
     flops = 2 * E * (C_DST + c_src) * 2 * d + 2 * E * d * 2 * d * 2
     gate, sender, pre, s1w, m2w = pl.pallas_call(
-        functools.partial(_fwd_kernel, c_src, banded),
+        functools.partial(_fwd_kernel, saved, c_src, banded),
         grid_spec=grid_spec,
         compiler_params=_compiler_params(),
         out_shape=[jax.ShapeDtypeStruct((E, d), xi.dtype, vma=vma),
                    jax.ShapeDtypeStruct((E, d), xi.dtype, vma=vma),
-                   jax.ShapeDtypeStruct((E, 2 * d), xi.dtype, vma=vma),
+                   jax.ShapeDtypeStruct((E, wsave), xi.dtype, vma=vma),
                    jax.ShapeDtypeStruct((nt, d), jnp.float32, vma=vma),
                    jax.ShapeDtypeStruct((nt, d), jnp.float32, vma=vma)],
         interpret=interpret,
@@ -508,11 +530,14 @@ def edge_phase_fwd(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, emask,
 def edge_phase_bwd_call(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src,
                         emask, dst_lo, src_lo, src_nblk, pre, gate, meanw,
                         ds1w, dm2w, dgate, dsender, deres,
-                        c_src: int = C_SRC, interpret: bool = False):
+                        c_src: int = C_SRC, interpret: bool = False,
+                        saved=None):
     n_i, d2 = xi.shape
     n_j = xj.shape[0]
     d = d2 // 2
     E = e.shape[0]
+    saved = _bwd_saved() if saved is None else saved
+    wsave = 4 * d if saved else 2 * d
     if src_nblk is None:
         src_nblk = jnp.full(E // T_EDGES, c_src // SRC_BLK, jnp.int32)
     vma = vma_union(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, emask,
@@ -550,7 +575,7 @@ def edge_phase_bwd_call(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(nt,),
-        in_specs=bwd_in + [win((T_EDGES, 2 * d)),   # pre
+        in_specs=bwd_in + [win((T_EDGES, wsave)),   # pre (‖ sig if saved)
                            win((T_EDGES, d)),       # gate (rounded)
                            const((nt, d)),          # mean_w (whole array)
                            const((nt, d)),          # ds1_w
@@ -573,7 +598,7 @@ def edge_phase_bwd_call(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src,
     )
     flops = 3 * (2 * E * (C_DST + c_src) * 2 * d + 6 * E * d * 2 * d * 2)
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, c_src, banded),
+        functools.partial(_bwd_kernel, saved, c_src, banded),
         grid_spec=grid_spec,
         compiler_params=_compiler_params(),
         out_shape=[
@@ -725,7 +750,7 @@ def _merged_bwd_call(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, emask,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(nt,),
-        in_specs=bwd_in + [win((T_EDGES, 2 * d)),   # pre
+        in_specs=bwd_in + [win((T_EDGES, wsave)),   # pre (‖ sig if saved)
                            win((T_EDGES, d)),       # gate
                            win((T_EDGES, d)),       # sender
                            win((T_EDGES, 1)),       # env
@@ -816,9 +841,11 @@ def _fes_fwd(xi, xj, e, we, b, w1g, b1g, w1a, b1a, gamma, beta, env2d,
              eps, axes, interpret):
     from cartnet_tpu.nn.norm import combine_window_moments
     from cartnet_tpu.ops.pallas.segment_kernels import _sigma_fwd_call
+    # merged path keeps the plain [E, 2d] pre residual (its own bwd kernel
+    # consumes pre directly)
     gate, sender, pre, s1w, m2w = edge_phase_fwd(
         xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, emask,
-        dst_lo, src_lo, src_nblk, c_src, interpret)
+        dst_lo, src_lo, src_nblk, c_src, interpret, saved=False)
     nt = s1w.shape[0]
     n_w = emask.reshape(nt, -1).sum(axis=1, dtype=jnp.float32)[:, None]
     (scale, shift), (mean, var, n) = combine_window_moments(
