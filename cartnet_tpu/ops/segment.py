@@ -41,55 +41,51 @@ import functools
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def masked_segment_sum_by_perm(values, segment_ids, mask, perm, ids_sorted,
-                               num_segments: int, pallas_ok: bool = False):
-    """Masked segment-sum over UNSORTED ids with zero scatters.
+def segment_sum_presorted(values, segment_ids, perm, ids_eff, mask,
+                          num_segments: int, pallas_ok: bool = False):
+    """Masked segment-sum with CALLER-precomputed sort metadata.
 
-    ``perm`` sorts the ids (ids[perm] == ids_sorted, host-precomputed).
-    Forward: gather-by-perm (fast) + sorted segment-sum. Backward: the
-    transpose of a scatter is a GATHER — d(values) = d(out)[ids] * mask, so
-    neither direction ever hits XLA's serial unsorted scatter (~1 ms for a
-    [21k, 40] scatter on v5e; both directions here are ~tens of us).
-
-    ``pallas_ok`` (collate-verified src-window span, 128-lane values) runs
-    the sorted reduction as the windowed one-hot MXU kernel — XLA's own
-    sorted segment-sum is VMEM-write-serialized (~180 us at [21k, 128]
-    bench shapes vs ~30 us for the window kernel).
+    ``perm`` sorts the unsorted ``segment_ids``; ``ids_eff`` is the sorted
+    ids with masked/pad positions set to ``num_segments`` — computed ONCE
+    per batch by the caller and shared across every reduction on the same
+    edge set. The 1-D mask permute + where chain this removes from each
+    call ran ~160-190 us EACH at bench shapes (XLA lowers [E] 1-D
+    gathers/reduces at a few elements/cycle — xprof round 5). Pad values
+    never need zeroing: out-of-range ids are dropped by both the XLA
+    scatter and the window kernel's spill rows. Backward is a gather:
+    d(values) = d(out)[segment_ids] * mask (original order).
     """
     vs = jnp.asarray(values).at[perm].get(mode="promise_in_bounds")
-    ms = jnp.asarray(mask).at[perm].get(mode="promise_in_bounds")
     if pallas_ok and vs.ndim == 2:
         from cartnet_tpu.ops.pallas.segment_kernels import (
             on_tpu, pallas_shapes_ok, segment_sum_sorted_window)
         if on_tpu() and pallas_shapes_ok(vs.shape[0], vs.shape[1],
                                          num_segments):
-            ids_eff = jnp.where(ms, ids_sorted, num_segments).astype(jnp.int32)
             return segment_sum_sorted_window(vs, ids_eff, num_segments)
-    m = ms.astype(values.dtype).reshape(
-        ms.shape + (1,) * (values.ndim - ms.ndim))
-    return jax.ops.segment_sum(vs * m, ids_sorted,
-                               num_segments=num_segments,
+    return jax.ops.segment_sum(vs, ids_eff, num_segments=num_segments,
                                indices_are_sorted=True)
 
 
-def _mssp_perm_fwd(values, segment_ids, mask, perm, ids_sorted, num_segments,
-                   pallas_ok):
-    out = masked_segment_sum_by_perm(values, segment_ids, mask, perm,
-                                     ids_sorted, num_segments, pallas_ok)
-    return out, (segment_ids, mask, perm, ids_sorted)
+def _ssp_fwd(values, segment_ids, perm, ids_eff, mask, num_segments,
+             pallas_ok):
+    out = segment_sum_presorted(values, segment_ids, perm, ids_eff, mask,
+                                num_segments, pallas_ok)
+    return out, (segment_ids, mask)
 
 
-def _mssp_perm_bwd(num_segments, pallas_ok, res, ct):
+def _ssp_bwd(num_segments, pallas_ok, res, ct):
     import numpy as np
-    segment_ids, mask, perm, ids_sorted = res
+    segment_ids, mask = res
     m = mask.astype(ct.dtype).reshape(
         mask.shape + (1,) * (ct.ndim - mask.ndim))
     dvalues = ct.at[segment_ids].get(mode="promise_in_bounds") * m
     f0 = lambda a: np.zeros(a.shape, jax.dtypes.float0)
-    return (dvalues, f0(segment_ids), f0(mask), f0(perm), f0(ids_sorted))
+    # perm / ids_eff share segment_ids' [E] shape
+    return (dvalues, f0(segment_ids), f0(segment_ids), f0(segment_ids),
+            f0(mask))
 
 
-masked_segment_sum_by_perm.defvjp(_mssp_perm_fwd, _mssp_perm_bwd)
+segment_sum_presorted.defvjp(_ssp_fwd, _ssp_bwd)
 
 
 def masked_segment_mean(values, segment_ids, mask, num_segments: int, *,
