@@ -750,7 +750,7 @@ def _merged_bwd_call(xi, xj, e, we, b, w1g, b1g, w1a, b1a, dst, src, emask,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(nt,),
-        in_specs=bwd_in + [win((T_EDGES, wsave)),   # pre (‖ sig if saved)
+        in_specs=bwd_in + [win((T_EDGES, 2 * d)),   # pre (merged: plain)
                            win((T_EDGES, d)),       # gate
                            win((T_EDGES, d)),       # sender
                            win((T_EDGES, 1)),       # env
