@@ -89,15 +89,35 @@ def conv_apply(p, state, x, edge_attr, batch: CrystalBatch, cfg: ModelConfig,
     """
     dst = batch.edge_dst
     d = x.shape[-1]
+    halo = batch.halo_send_idx is not None
+    if halo:
+        # halo layout (parallel/halo.py): nodes sharded over ep. Boundary x
+        # rows are exchanged ONCE at d width; key/value projections then run
+        # over the [local ‖ recv] table so edge_src gathers stay
+        # member-local. dst — and with it q, the gated aggregation, and the
+        # node-level BN — only ever touches the owned block.
+        from cartnet_tpu.parallel.halo import halo_recv_rows
+        send_idx = batch.halo_send_idx.reshape(
+            batch.halo_send_idx.shape[-2:])
+        n_per = x.shape[0]
+        recv = halo_recv_rows(x, send_idx, batch.halo_empty, ep_axis)
+        table = jnp.concatenate([x, recv], axis=0)
+        k_t = nn.linear(p["lin_key"], table)
+        v_t = nn.linear(p["lin_value"], table)
+        k, v = k_t[:n_per], v_t[:n_per]
+        n_src = table.shape[0]
+    else:
+        k = nn.linear(p["lin_key"], x)
+        v = nn.linear(p["lin_value"], x)
+        k_t, v_t = k, v
+        n_src = None
     q = nn.linear(p["lin_query"], x)
-    k = nn.linear(p["lin_key"], x)
-    v = nn.linear(p["lin_value"], x)
     e = nn.linear(p["lin_edge"], edge_attr)
 
     from cartnet_tpu.ops import dispatch
     fused = dispatch.edge_fuse_active(
         batch.num_edges, batch.num_nodes, d, x.dtype.itemsize,
-        c_src=batch.src_band,
+        num_src_nodes=n_src, c_src=batch.src_band,
         plans=batch.edge_fuse_ok and batch.edge_dst_lo is not None)
     if fused:
         from cartnet_tpu.ops.pallas import edge_kernels as ek
@@ -107,9 +127,9 @@ def conv_apply(p, state, x, edge_attr, batch: CrystalBatch, cfg: ModelConfig,
         xi = jnp.concatenate([jnp.dot(k, wk[:d], preferred_element_type=k.dtype),
                               jnp.dot(v, wm[:d], preferred_element_type=k.dtype)],
                              axis=1)
-        xj = jnp.concatenate([jnp.dot(k, wk[d:2 * d],
+        xj = jnp.concatenate([jnp.dot(k_t, wk[d:2 * d],
                                       preferred_element_type=k.dtype),
-                              jnp.dot(v, wm[d:2 * d],
+                              jnp.dot(v_t, wm[d:2 * d],
                                       preferred_element_type=k.dtype)],
                              axis=1)
         we = jnp.concatenate([wk[2 * d:], wm[2 * d:]], axis=1)
@@ -122,8 +142,8 @@ def conv_apply(p, state, x, edge_attr, batch: CrystalBatch, cfg: ModelConfig,
             batch.edge_dst_lo, batch.edge_src_lo, batch.edge_src_nblk,
             batch.src_band, not on_tpu())
     else:
-        key_j = _split3(p["key_update"], k, k, e, batch)
-        msg = _split3(p["msg_update"], v, v, e, batch)
+        key_j = _split3(p["key_update"], k, k_t, e, batch)
+        msg = _split3(p["msg_update"], v, v_t, e, batch)
 
     if batch.edge_src_perm is None:
         q_dst = q[dst]
@@ -165,10 +185,17 @@ def conv_apply(p, state, x, edge_attr, batch: CrystalBatch, cfg: ModelConfig,
                                             eps=cfg.bn_eps,
                                             axis_names=edge_stat_axes)
         msg = msg * jax.nn.sigmoid(alpha)
+        # to_halo's interior-first window permutation breaks ACROSS-window
+        # dst sortedness — fall back to unsorted scatter then
         out = segment.masked_segment_sum(msg, dst, batch.edge_mask,
-                                         batch.num_nodes, sorted_ids=True,
+                                         batch.num_nodes,
+                                         sorted_ids=batch.halo_interior_nt
+                                         == 0,
                                          pallas_ok=batch.pallas_seg_ok)
-    if ep_axis is not None:
+    if ep_axis is not None and not halo:
+        # replicated-node layout: partial aggregates all-reduce over ep.
+        # halo layout owns dst locally — the segment-sum IS the full
+        # aggregate, no collective needed.
         out = jax.lax.psum(out, ep_axis)
     out = nn.linear(p["lin_concate"], out)
     out, bn_s = masked_batch_norm(p["bn"], state["bn"], out, batch.node_mask,
@@ -313,7 +340,10 @@ def ecomformer_apply(params, state, batch: CrystalBatch, cfg: ModelConfig,
     if cfg.cholesky:
         pred, mask = cholesky_head_apply(params["head"], x), batch.non_h_mask
     else:
-        pred, mask = scalar_head_apply(params["head"], x, batch), batch.graph_mask
+        halo = batch.halo_send_idx is not None
+        pred = scalar_head_apply(params["head"], x, batch,
+                                 psum_axis=ep_axis if halo else None)
+        mask = batch.graph_mask
     return pred, mask, new_state
 
 
@@ -376,9 +406,17 @@ def icomformer_apply(params, state, batch: CrystalBatch, cfg: ModelConfig,
     # stray id) must map to a real graph, not gid -1 — an all-zero one-hot
     # would make row_norm 0 and blow nei_len_feat up to -7.5e5 on masked
     # pad edges.
-    gid_e = jnp.clip(
-        jnp.searchsorted(starts, batch.edge_dst, side="right") - 1, 0, G - 1
-    ).astype(jnp.int32)
+    if batch.halo_send_idx is not None:
+        # halo layout: the member's node rows are an arbitrary contiguous
+        # window of the dp slice, so `starts` is not sorted (absent graphs
+        # sentinel to N regardless of id) — searchsorted is invalid. dst is
+        # member-local; one small s32 gather gives the edge's graph exactly.
+        gid_e = jnp.clip(batch.graph_id[batch.edge_dst], 0,
+                         G - 1).astype(jnp.int32)
+    else:
+        gid_e = jnp.clip(
+            jnp.searchsorted(starts, batch.edge_dst, side="right") - 1, 0,
+            G - 1).astype(jnp.int32)
     oh_g = (gid_e[:, None] == garange[None, :]).astype(dt)
     row_norm = jnp.dot(oh_g, row_norm_g,
                        preferred_element_type=dt)                # [E,3]
@@ -418,5 +456,8 @@ def icomformer_apply(params, state, batch: CrystalBatch, cfg: ModelConfig,
     if cfg.cholesky:
         pred, mask = cholesky_head_apply(params["head"], x), batch.non_h_mask
     else:
-        pred, mask = scalar_head_apply(params["head"], x, batch), batch.graph_mask
+        halo = batch.halo_send_idx is not None
+        pred = scalar_head_apply(params["head"], x, batch,
+                                 psum_axis=ep_axis if halo else None)
+        mask = batch.graph_mask
     return pred, mask, new_state

@@ -358,6 +358,52 @@ def to_halo(batch: CrystalBatch, ep: int,
         halo_send_idx=send_idx, halo_send_mask=send_mask)
 
 
+def halo_recv_rows(x, send_idx, halo_empty: bool, ep_axis: str):
+    """The recv block of ``halo_table`` alone: [ep*H, d] boundary rows from
+    their owners, in the neighbors-first rolled rank order ``to_halo``'s src
+    ids were built against. ``halo_empty`` (a static collate flag) skips the
+    collective entirely for graph-snapped zero-comms layouts — the zeros
+    block only keeps the table shape the kernel plans were built for."""
+    import jax
+    import jax.numpy as jnp
+    ep, h = send_idx.shape
+    if halo_empty:
+        return jnp.zeros((ep * h, x.shape[-1]), x.dtype)
+    send = x[send_idx]  # [ep, H, d] — local rows destined for each member
+    recv = jax.lax.all_to_all(send, ep_axis, split_axis=0, concat_axis=0)
+    m_idx = jax.lax.axis_index(ep_axis)
+    recv = jnp.roll(recv, -(m_idx + 1), axis=0)
+    return recv.reshape(-1, x.shape[-1])
+
+
+def halo_scatter_back(local, remote, send_idx, halo_empty: bool,
+                      ep_axis: str):
+    """Transpose of the table gather for FORWARD src-directed scatters.
+
+    A segment-sum over table ids (n_per local rows ‖ ep*H recv slots)
+    produces ``local`` [n_per, C] plus ``remote`` [ep*H, C] partial sums that
+    belong to OTHER members' rows (e.g. the equi block's scatter-mean onto
+    edge SOURCES, models/equivariant.py — the one reference dataflow that
+    aggregates toward the un-owned endpoint). Returns the complete per-owner
+    sums: partials are rolled back from rank order to owner order, exchanged
+    with one all_to_all (the exact reverse of ``halo_recv_rows``), and
+    scatter-added into the sender's rows. Unused slots carry zeros (no edge
+    references them), so the index-0 default rows are harmless.
+    """
+    import jax
+    import jax.numpy as jnp
+    if halo_empty:
+        return local
+    ep, h = send_idx.shape
+    rem = remote.reshape(ep, h, -1)
+    m_idx = jax.lax.axis_index(ep_axis)
+    rem = jnp.roll(rem, m_idx + 1, axis=0)  # rank order -> owner order
+    back = jax.lax.all_to_all(rem, ep_axis, split_axis=0, concat_axis=0)
+    # back[s] = partials member s computed for MY rows send_idx[s]
+    return local.at[send_idx.reshape(-1)].add(
+        back.reshape(ep * h, local.shape[-1]))
+
+
 def halo_table(x, send_idx, ep_axis: str):
     """Per-layer boundary exchange: one gather + all_to_all over ``ep_axis``.
 

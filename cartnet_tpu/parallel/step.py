@@ -148,14 +148,6 @@ def make_parallel_steps(cfg: Config, model_apply, optimizer, mesh: Mesh,
     partitioning (ownership already makes them disjoint).
     """
     node_targets = cfg.model.cholesky
-    if halo and cfg.model.name != "cartnet":
-        # the Comformer convs gather edge endpoints from a flat node table
-        # and never consult halo_send_idx — a halo batch would silently
-        # misindex edge_src into a table without the [local ‖ recv] layout
-        raise ValueError(
-            f"halo edge partitioning supports model 'cartnet' only "
-            f"(got {cfg.model.name!r}); use --ep without --halo for "
-            f"replicated-node edge parallelism")
     ep = int(mesh.shape["ep"])
     with_perm = (ep == 1) and not halo
     bspecs = batch_pspecs(halo, node_targets, with_perm=with_perm)
@@ -252,8 +244,6 @@ def make_parallel_fused_chunk(cfg: Config, model_apply, optimizer,
     import jax.lax as lax
 
     node_targets = cfg.model.cholesky
-    if halo and cfg.model.name != "cartnet":
-        raise ValueError("halo fused chunk supports model 'cartnet' only")
     ep = int(mesh.shape["ep"])
     with_perm = (ep == 1) and not halo
     bspecs = batch_pspecs(halo, node_targets, with_perm=with_perm)

@@ -229,19 +229,6 @@ def test_halo_cli_e2e(tmp_path):
     assert np.isfinite(stats["MAE"])
 
 
-def test_halo_rejects_comformer():
-    """Comformer convs never consult halo_send_idx — make_parallel_steps must
-    refuse the halo layout for them instead of silently misindexing
-    (VERDICT r2 weak #4)."""
-    from cartnet_tpu.config import ModelConfig, ParallelConfig
-    from cartnet_tpu.models.factory import create_model
-    cfg = _cfg(True)
-    cfg = cfg.replace(model=ModelConfig(name="icomformer", dim_in=16,
-                                        dim_rbf=8, num_layers=2,
-                                        cholesky=True))
-    _, model_apply = create_model(cfg.model)
-    from cartnet_tpu.train.loop import build_optimizer
-    opt = build_optimizer(cfg, 4)
-    mesh = make_mesh(DP, EP)
-    with pytest.raises(ValueError, match="halo.*cartnet"):
-        make_parallel_steps(cfg, model_apply, opt, mesh, halo=True)
+# NB: the round-2..4 "halo rejects Comformer" guard test is gone — round 5
+# extended the halo layout to the whole model family; the parity proofs live
+# in tests/test_halo_comformer.py.
