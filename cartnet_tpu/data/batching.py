@@ -212,7 +212,10 @@ def collate(records: Sequence[dict], max_nodes: int, max_edges: int,
         edge_src_perm=src_perm, pallas_seg_ok=pallas_ok,
         edge_dst_lo=dst_lo, edge_src_lo=src_lo, edge_src_nblk=src_nblk,
         src_band=int(src_band),
-        edge_fuse_ok=bool(fuse_ok), edge_src_sorted=esrc[src_perm])
+        edge_fuse_ok=bool(fuse_ok), edge_src_sorted=esrc[src_perm],
+        edge_mask_src_sorted=emask[src_perm],
+        src_degree=np.bincount(esrc[emask],
+                               minlength=max_nodes).astype(np.float32))
 
 
 def upgrade_src_band(batch, band: int):

@@ -83,6 +83,13 @@ class CrystalBatch:
     # host-precomputed edge_src[edge_src_perm] (ascending): the gather VJP
     # needs the sorted ids, and an s32 gather ON DEVICE runs at ~2 GiB/s
     edge_src_sorted: Optional[jnp.ndarray] = None  # [E] int32
+    # host-precomputed companions of the src sort (equi-block scatter-free
+    # means, models/equivariant.py): edge_mask in src-sorted order and the
+    # per-node REAL src degree. Recomputing them on device showed up as
+    # ~350 us/step of serialized VMEM-bound fusions in the eComformer xprof
+    # (round 5). Present exactly when edge_src_perm is.
+    edge_mask_src_sorted: Optional[jnp.ndarray] = None  # [E] bool
+    src_degree: Optional[jnp.ndarray] = None            # [N] f32
     # static: True when every edge window satisfies the Pallas segment-sum
     # span condition (batching._windows_ok) for both dst and sorted-src ids.
     pallas_seg_ok: bool = flax.struct.field(pytree_node=False, default=False)

@@ -349,7 +349,8 @@ def to_halo(batch: CrystalBatch, ep: int,
         non_h_mask=out_nonh, y=out_y,
         edge_src=out_src, edge_dst=out_dst, cart_dist=out_dist,
         cart_dir=out_dir, edge_mask=out_emask,
-        edge_src_perm=None, pallas_seg_ok=bool(seg_ok),
+        edge_src_perm=None, edge_mask_src_sorted=None, src_degree=None,
+        pallas_seg_ok=bool(seg_ok),
         edge_dst_lo=dst_lo, edge_src_lo=src_lo, edge_src_nblk=src_nblk,
         src_band=int(src_band),
         edge_fuse_ok=bool(fuse_ok),

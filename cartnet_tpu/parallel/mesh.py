@@ -66,6 +66,8 @@ def batch_pspecs(halo: bool = False, node_targets: bool = False,
         y=node if node_targets else graph,
         edge_src_perm=edge if with_perm else None,
         edge_src_sorted=edge if with_perm else None,
+        edge_mask_src_sorted=edge if with_perm else None,
+        src_degree=node if with_perm else None,
         edge_dst_lo=edge, edge_src_lo=edge, edge_src_nblk=edge,
         halo_send_idx=P(("dp", "ep")) if halo else None,
         halo_send_mask=P(("dp", "ep")) if halo else None)

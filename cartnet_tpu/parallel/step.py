@@ -67,7 +67,8 @@ def stack_for_shards(batches: List[CrystalBatch],
                              edge_src_nblk=zeros)
                    for b in batches]
     if ep > 1:
-        batches = [b.replace(edge_src_perm=None, edge_src_sorted=None)
+        batches = [b.replace(edge_src_perm=None, edge_src_sorted=None,
+                             edge_mask_src_sorted=None, src_degree=None)
                    for b in batches]
     hempty = all(b.halo_empty for b in batches)
     from cartnet_tpu.data.batching import upgrade_src_band
