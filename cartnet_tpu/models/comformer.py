@@ -197,7 +197,7 @@ def conv_apply(p, state, x, edge_attr, batch: CrystalBatch, cfg: ModelConfig,
         # halo layout owns dst locally — the segment-sum IS the full
         # aggregate, no collective needed.
         out = jax.lax.psum(out, ep_axis)
-    out = nn.linear(p["lin_concate"], out)
+    out = nn.linear_mxu_bias(p["lin_concate"], out)
     out, bn_s = masked_batch_norm(p["bn"], state["bn"], out, batch.node_mask,
                                   training=training, momentum=cfg.bn_momentum,
                                   eps=cfg.bn_eps, axis_names=node_stat_axes)
@@ -274,7 +274,7 @@ def conv_edge_apply(p, state, edge_attr, edge_nei_len, edge_nei_angle,
         axis_names=edge_stat_axes)
     msg = nn.linear(p["msg_update"]["lin1"],
                     jax.nn.silu(_pre3(p["msg_update"], vx, vy)))
-    out3 = nn.linear(p["lin_concate"], msg * jax.nn.sigmoid(alpha))
+    out3 = nn.linear_mxu_bias(p["lin_concate"], msg * jax.nn.sigmoid(alpha))
     out = out3[:E] + out3[E:2 * E] + out3[2 * E:]                # [E,d]
     out, bn_s = masked_batch_norm(p["bn"], state["bn"], out, edge_mask,
                                   training=training, momentum=cfg.bn_momentum,

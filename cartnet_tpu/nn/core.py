@@ -43,6 +43,48 @@ def linear(params, x):
     return y
 
 
+@jax.custom_vjp
+def _linear_mb(x, w, b):
+    return jnp.dot(x, w, preferred_element_type=x.dtype) + b
+
+
+def _linear_mb_fwd(x, w, b):
+    return _linear_mb(x, w, b), (x, w)
+
+
+def _linear_mb_bwd(res, ct):
+    x, w = res
+    dx = jnp.dot(ct, w.T, preferred_element_type=ct.dtype)
+    dw = jnp.dot(x.T, ct,
+                 preferred_element_type=jnp.float32).astype(w.dtype)
+    # 8 identical ones-rows: a [1, E] dot gets canonicalized by XLA back
+    # into the same pathological kLoop row reduce (measured — identical
+    # 360k-cycle schedule); 8 rows is the sublane tile, forcing a real MXU
+    # GEMM lowering. Row 0 is the bias cotangent.
+    ones = jnp.ones((8, ct.shape[0]), ct.dtype)
+    db = jnp.dot(ones, ct,
+                 preferred_element_type=jnp.float32)[0].astype(w.dtype)
+    return dx, dw, db
+
+
+_linear_mb.defvjp(_linear_mb_fwd, _linear_mb_bwd)
+
+
+def linear_mxu_bias(params, x):
+    """``linear`` with the bias cotangent computed as a ones-row MXU dot.
+
+    XLA's autodiff lowers db = sum(ct, axis=0) to a kLoop row reduce that its
+    TPU cost model occasionally schedules pathologically: the iComformer
+    lin_concate bias grad ran 286 us/step (est. 360k cycles) for a
+    [21k, 256] bf16 cotangent that the equivalent [1, E] @ [E, 256] MXU dot
+    does in <10 us (PERF_NOTES round-5 session 2, fusion.2318). Forward and
+    dx/dw math are identical to ``linear``; db accumulates in f32 like the
+    XLA reduce."""
+    if "b" not in params:
+        return linear(params, x)
+    return _linear_mb(x, params["w"], params["b"])
+
+
 def embedding_init(key, num_embeddings: int, dim: int, dtype=jnp.float32,
                    init: str = "xavier"):
     if init == "xavier":

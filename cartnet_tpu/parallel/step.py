@@ -267,8 +267,9 @@ def make_parallel_fused_chunk(cfg: Config, model_apply, optimizer,
     def one(state: TrainState, batch: CrystalBatch):
         # a dummy (ragged-tail) super-batch is fully masked on EVERY member
         # (graph arrays vary over dp only — promote before the 2-axis psum)
-        any_local = jax.lax.pvary(
-            jnp.any(batch.graph_mask).astype(jnp.int32), ("ep",))
+        any_local = jax.lax.pcast(
+            jnp.any(batch.graph_mask).astype(jnp.int32), ("ep",),
+            to="varying")
         valid = jax.lax.psum(any_local, ("dp", "ep")) > 0
 
         def lossfn(p, s, b):

@@ -128,6 +128,50 @@ def test_comformer_halo_micro_matches_single_device(name, data_fn):
                                    rtol=1e-4, atol=1e-6 * scale)
 
 
+def test_icomformer_halo_fused_chunk_matches_micro():
+    """The in-shard_map lax.scan epoch (make_parallel_fused_chunk, halo=True)
+    must reproduce the per-batch halo micro/update cadence for the Comformer
+    family too — same params and BN state after one accumulation window."""
+    import jax.numpy as jnp
+    from cartnet_tpu.parallel.step import make_parallel_fused_chunk
+    init_fn, apply_fn = MODELS["icomformer"]
+    cfg = _cfg("icomformer").replace(
+        optim=OptimConfig(lr=1e-3, batch_accumulation=2))
+    mk = lambda recs: stack_for_shards(
+        [to_halo(collate([r], 64, 512, 4), EP, h_max=16) for r in recs],
+        ep=EP)
+    b1 = mk([_chain_graph(seed=7), _chain_graph(seed=8)])
+    b2 = mk([_chain_graph(seed=9), _chain_graph(seed=10)])
+    # one traced scan: align the static halo flags across the two batches
+    hempty = b1.halo_empty and b2.halo_empty
+    hint = min(b1.halo_interior_nt, b2.halo_interior_nt)
+    b1 = b1.replace(halo_empty=hempty, halo_interior_nt=hint)
+    b2 = b2.replace(halo_empty=hempty, halo_interior_nt=hint)
+    mesh = make_mesh(DP, EP)
+    opt = build_optimizer(cfg, 4)
+
+    s_u = init_train_state(jax.random.key(2), cfg, init_fn, opt)
+    s_f = init_train_state(jax.random.key(2), cfg, init_fn, opt)
+    micro, update, _ = make_parallel_steps(cfg, apply_fn, opt, mesh,
+                                           halo=True)
+    chunk = make_parallel_fused_chunk(cfg, apply_fn, opt, 2, mesh, halo=True)
+
+    for b in (b1, b2):
+        s_u, _ = micro(s_u, b)
+    s_u = update(s_u)
+    stacked2 = jax.tree.map(lambda x, y: jnp.stack([x, y]), b1, b2)
+    s_f, _ = chunk(s_f, stacked2)
+
+    assert int(s_u.step) == int(s_f.step) == 1
+    for a, b in zip(jax.tree.leaves(s_u.params), jax.tree.leaves(s_f.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(s_u.bn_state),
+                    jax.tree.leaves(s_f.bn_state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
 @pytest.mark.parametrize("name", list(MODELS))
 def test_comformer_halo_eval_matches_single_device(name):
     init_fn, apply_fn = MODELS[name]
